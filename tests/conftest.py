@@ -1,0 +1,22 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on faked host devices (the driver
+dry-run-compiles the real multi-chip path separately); the benchmark runs on
+the real TPU chip outside pytest.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
