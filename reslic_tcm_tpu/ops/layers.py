@@ -1,0 +1,269 @@
+"""NN layer library, TPU-native (flax.linen, NHWC layout).
+
+Provides the building blocks every codec in the framework uses: torch-padding
+convolutions, transposed convs, sub-pixel upsampling, GDN/IGDN, and the
+CompressAI-style residual blocks. Semantics match the layers the reference
+imports from compressai.layers (see reference models/reference/tcm.py:4-11,
+layers.py:29-43) so converted PyTorch checkpoints reproduce outputs exactly;
+shapes/layouts are NHWC so XLA tiles convs straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .math import lower_bound
+
+# torch nn.GELU default is the exact erf formulation.
+gelu = partial(jax.nn.gelu, approximate=False)
+
+
+def leaky_relu(x):
+    return jax.nn.leaky_relu(x, negative_slope=0.01)
+
+
+class Conv(nn.Module):
+    """Conv2d with torch-style symmetric padding k//2 (reference
+    models/reference/utils.py:117-124)."""
+
+    features: int
+    kernel_size: int = 5
+    stride: int = 1
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.kernel_size // 2
+        return nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+def conv3x3(features: int, stride: int = 1, dtype=None) -> Conv:
+    return Conv(features, kernel_size=3, stride=stride, dtype=dtype)
+
+
+def conv1x1(features: int, stride: int = 1, dtype=None) -> Conv:
+    return Conv(features, kernel_size=1, stride=stride, dtype=dtype)
+
+
+class Deconv(nn.Module):
+    """ConvTranspose2d(k, stride s, padding k//2, output_padding s-1):
+    upsamples H,W by exactly s (reference models/reference/utils.py:127-134).
+
+    Implemented as an input-dilated convolution so the kernel layout is a
+    plain HWIO conv kernel; the checkpoint converter flips/transposes torch
+    transposed-conv weights into this layout.
+    """
+
+    features: int
+    kernel_size: int = 5
+    stride: int = 2
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k, s = self.kernel_size, self.stride
+        p = k // 2
+        op = s - 1
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.features),
+        )
+        pad = (k - 1 - p, k - 1 - p + op)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=(pad, pad),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class PixelShuffle(nn.Module):
+    """Depth-to-space with torch PixelShuffle channel ordering
+    (out[c, h*r+i, w*r+j] = in[c*r^2 + i*r + j, h, w])."""
+
+    r: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, crr = x.shape
+        r = self.r
+        c = crr // (r * r)
+        x = x.reshape(b, h, w, c, r, r)
+        x = x.transpose(0, 1, 4, 2, 5, 3)  # b h i w j c
+        return x.reshape(b, h * r, w * r, c)
+
+
+class SubpelConv3x3(nn.Module):
+    """3x3 conv + pixel shuffle upsampling (reference layers.py:34-38)."""
+
+    features: int
+    r: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.features * self.r**2, kernel_size=3, dtype=self.dtype, name="conv")(x)
+        return PixelShuffle(self.r)(x)
+
+
+class GDN(nn.Module):
+    """Generalized divisive normalization (Balle et al.), CompressAI
+    parametrization: stored weights are sqrt(value + pedestal), recovered via
+    LowerBound + square so non-negativity survives gradient descent.
+    """
+
+    inverse: bool = False
+    beta_min: float = 1e-6
+    gamma_init: float = 0.1
+    reparam_offset: float = 2**-18
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        pedestal = self.reparam_offset**2
+        beta_bound = (self.beta_min + pedestal) ** 0.5
+        gamma_bound = self.reparam_offset
+
+        beta_r = self.param(
+            "beta",
+            lambda rng, shape: jnp.full(shape, (1.0 + pedestal) ** 0.5, jnp.float32),
+            (c,),
+        )
+        gamma_r = self.param(
+            "gamma",
+            lambda rng, shape: jnp.sqrt(
+                self.gamma_init * jnp.eye(c, dtype=jnp.float32) + pedestal
+            ),
+            (c, c),
+        )
+        beta = lower_bound(beta_r, jnp.asarray(beta_bound, beta_r.dtype)) ** 2 - pedestal
+        gamma = (
+            lower_bound(gamma_r, jnp.asarray(gamma_bound, gamma_r.dtype)) ** 2 - pedestal
+        )
+        # 1x1 conv on x^2: gamma[j, k] weights channel j's power into output k.
+        # torch conv weight layout is [out, in, 1, 1] with gamma reshaped
+        # row-major, so out k <- in j uses gamma[k, j]; NHWC contraction below
+        # matches that with a transpose.
+        norm = jnp.einsum("bhwj,kj->bhwk", x.astype(jnp.float32) ** 2, gamma) + beta
+        if self.inverse:
+            norm = jnp.sqrt(norm)
+        else:
+            norm = jax.lax.rsqrt(norm)
+        return x * norm.astype(x.dtype)
+
+
+class ResidualUnit(nn.Module):
+    """CompressAI AttentionBlock residual unit: 1x1 -> act -> 3x3 -> act ->
+    1x1, residual add, trailing activation. The attention blocks in
+    reference layers.py:52-71 use GELU; CompressAI's AttentionBlock uses
+    ReLU — selectable."""
+
+    features: int
+    act: Callable = jax.nn.relu
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        n = self.features
+        out = Conv(n // 2, kernel_size=1, dtype=self.dtype, name="conv1")(x)
+        out = self.act(out)
+        out = Conv(n // 2, kernel_size=3, dtype=self.dtype, name="conv2")(out)
+        out = self.act(out)
+        out = Conv(n, kernel_size=1, dtype=self.dtype, name="conv3")(out)
+        return self.act(out + x)
+
+
+class ResidualBlock(nn.Module):
+    """conv3x3 -> lrelu -> conv3x3 -> lrelu + skip (compressai.layers)."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        out = Conv(self.features, kernel_size=3, dtype=self.dtype, name="conv1")(x)
+        out = leaky_relu(out)
+        out = Conv(self.features, kernel_size=3, dtype=self.dtype, name="conv2")(out)
+        out = leaky_relu(out)
+        if x.shape[-1] != self.features:
+            x = Conv(self.features, kernel_size=1, dtype=self.dtype, name="skip")(x)
+        return out + x
+
+
+class ResidualBlockWithStride(nn.Module):
+    """conv3x3(stride) -> lrelu -> conv3x3 -> GDN + strided-1x1 skip."""
+
+    features: int
+    stride: int = 2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        out = Conv(
+            self.features, kernel_size=3, stride=self.stride, dtype=self.dtype, name="conv1"
+        )(x)
+        out = leaky_relu(out)
+        out = Conv(self.features, kernel_size=3, dtype=self.dtype, name="conv2")(out)
+        out = GDN(name="gdn")(out)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x = Conv(
+                self.features, kernel_size=1, stride=self.stride, dtype=self.dtype, name="skip"
+            )(x)
+        return out + x
+
+
+class ResidualBlockUpsample(nn.Module):
+    """subpel-up -> lrelu -> conv3x3 -> IGDN + subpel-up skip."""
+
+    features: int
+    upsample: int = 2
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        out = SubpelConv3x3(self.features, self.upsample, dtype=self.dtype, name="subpel")(x)
+        out = leaky_relu(out)
+        out = Conv(self.features, kernel_size=3, dtype=self.dtype, name="conv")(out)
+        out = GDN(inverse=True, name="igdn")(out)
+        identity = SubpelConv3x3(
+            self.features, self.upsample, dtype=self.dtype, name="upsample"
+        )(x)
+        return out + identity
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm semantics)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)

@@ -1,0 +1,301 @@
+"""Swin-style window attention, TPU-native (flax.linen, NHWC).
+
+Covers both window-attention flavors the reference uses:
+
+* WMSA / SwinTransformerBlock / ConvTransBlock's transformer branch
+  (reference models/reference/tcm.py:139-264) — LayerNorm-in-block design
+  with a (2w-1)^2 x heads relative-position table and shifted-window masks.
+* WindowAttention / WinBasedAttention (reference
+  models/reference/win_attention.py:37-207) — the STF-style block used by
+  WACNN's Win_noShift_Attention, with qkv bias and a residual shortcut.
+
+All attention is strictly window-local (w in {4, 8}), which is exactly the
+structure that tiles onto the TPU: each (window^2, C) tile fits VMEM and the
+qk/pv contractions are small MXU matmuls batched over windows. The latent
+grid must be divisible by the window size — guaranteed by the model-level
+pad-to-128 policy (reference eval.py:33-47).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import Conv, DropPath, ResidualUnit, gelu
+
+
+def window_partition(x: jnp.ndarray, w: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, nWh*nWw, w*w, C]."""
+    b, h, wd, c = x.shape
+    x = x.reshape(b, h // w, w, wd // w, w, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, (h // w) * (wd // w), w * w, c)
+
+
+def window_reverse(windows: jnp.ndarray, w: int, h: int, wd: int) -> jnp.ndarray:
+    """[B, nW, w*w, C] -> [B, H, W, C]."""
+    b = windows.shape[0]
+    c = windows.shape[-1]
+    x = windows.reshape(b, h // w, wd // w, w, w, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, wd, c)
+
+
+def relative_position_index(w: int) -> np.ndarray:
+    """[w*w, w*w] indices into a flattened (2w-1)x(2w-1) bias table."""
+    coords = np.stack(np.meshgrid(np.arange(w), np.arange(w), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0) + (w - 1)
+    return (rel[:, :, 0] * (2 * w - 1) + rel[:, :, 1]).astype(np.int32)
+
+
+def shift_window_mask(h_windows: int, w_windows: int, w: int, shift: int) -> np.ndarray:
+    """Boolean mask [nW, w*w, w*w], True = blocked; the SW-MSA mask of
+    reference tcm.py:160-177 (last window row/col mix wrapped content)."""
+    s = w - shift
+    mask = np.zeros((h_windows, w_windows, w, w, w, w), dtype=bool)
+    mask[-1, :, :s, :, s:, :] = True
+    mask[-1, :, s:, :, :s, :] = True
+    mask[:, -1, :, :s, :, s:] = True
+    mask[:, -1, :, s:, :, :s] = True
+    return mask.transpose(0, 1, 2, 3, 4, 5).reshape(
+        h_windows * w_windows, w * w, w * w
+    )
+
+
+class WMSA(nn.Module):
+    """Window multi-head self-attention of the TCM ConvTransBlock
+    (reference tcm.py:139-212). type 'SW' applies a cyclic shift of w//2."""
+
+    dim: int
+    head_dim: int
+    window_size: int
+    type: str = "W"  # 'W' | 'SW'
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.window_size
+        n_heads = self.dim // self.head_dim
+        scale = self.head_dim**-0.5
+        b, h, wd, c = x.shape
+
+        rel_table = self.param(
+            "relative_position_params",
+            nn.initializers.truncated_normal(0.02 / 0.87962566103423978),
+            (n_heads, 2 * w - 1, 2 * w - 1),
+        )
+
+        if self.type != "W":
+            x = jnp.roll(x, shift=(-(w // 2), -(w // 2)), axis=(1, 2))
+
+        windows = window_partition(x, w)  # [b, nW, p2, c]
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="embedding_layer")(windows)
+        qkv = qkv.reshape(b, windows.shape[1], w * w, 3, n_heads, self.head_dim)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        # [b, nW, p2, heads, hd] -> attention over p2 per (b, nW, head)
+        sim = jnp.einsum("bwphc,bwqhc->bwhpq", q, k) * scale
+
+        idx = relative_position_index(w)
+        bias = rel_table.reshape(n_heads, -1)[:, idx.reshape(-1)].reshape(
+            n_heads, w * w, w * w
+        )
+        sim = sim + bias[None, None].astype(sim.dtype)
+
+        if self.type != "W":
+            mask = shift_window_mask(h // w, wd // w, w, shift=w // 2)
+            sim = jnp.where(
+                jnp.asarray(mask)[None, :, None], jnp.asarray(-jnp.inf, sim.dtype), sim
+            )
+
+        probs = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bwhpq,bwqhc->bwphc", probs, v)
+        out = out.reshape(b, windows.shape[1], w * w, self.dim)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="linear")(out)
+        out = window_reverse(out, w, h, wd)
+
+        if self.type != "W":
+            out = jnp.roll(out, shift=(w // 2, w // 2), axis=(1, 2))
+        return out
+
+
+class SwinTransformerBlock(nn.Module):
+    """LN -> WMSA -> +res; LN -> MLP(4x, GELU) -> +res
+    (reference tcm.py:214-236, class `Block`)."""
+
+    dim: int
+    head_dim: int
+    window_size: int
+    drop_path: float = 0.0
+    type: str = "W"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        dp = DropPath(self.drop_path)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
+        y = WMSA(self.dim, self.head_dim, self.window_size, self.type, self.dtype, name="msa")(y)
+        x = x + dp(y, deterministic)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
+        y = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp1")(y)
+        y = gelu(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp2")(y)
+        return x + dp(y, deterministic)
+
+
+class SwinBlock(nn.Module):
+    """W + SW block pair on an NHWC feature map (reference tcm.py:289-308).
+
+    The reference pads inputs smaller than the window but never crops back
+    (a latent bug that crashes for tiny inputs); here we pad any
+    non-divisible input up to a window multiple and crop the output back.
+    """
+
+    dim: int
+    head_dim: int
+    window_size: int
+    drop_path: float = 0.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        w = self.window_size
+        b, h, wd, c = x.shape
+        ph = (-h) % w
+        pw = (-wd) % w
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        x = SwinTransformerBlock(
+            self.dim, self.head_dim, w, self.drop_path, "W", self.dtype, name="block_1"
+        )(x, deterministic)
+        x = SwinTransformerBlock(
+            self.dim, self.head_dim, w, self.drop_path, "SW", self.dtype, name="block_2"
+        )(x, deterministic)
+        if ph or pw:
+            x = x[:, :h, :wd, :]
+        return x
+
+
+class WindowAttention(nn.Module):
+    """Relative-position-bias window MHSA over [B_, N, C] windows
+    (reference win_attention.py:37-115)."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        b_, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+        w = self.window_size
+
+        bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02 / 0.87962566103423978),
+            ((2 * w - 1) * (2 * w - 1), self.num_heads),
+        )
+
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
+        attn = jnp.einsum("bhnc,bhmc->bhnm", q, k)
+
+        idx = relative_position_index(w)
+        bias = bias_table[idx.reshape(-1)].reshape(n, n, self.num_heads)
+        attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(b_ // nw, nw, self.num_heads, n, n)
+            attn = attn + jnp.asarray(mask, attn.dtype)[None, :, None]
+            attn = attn.reshape(b_, self.num_heads, n, n)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmc->bhnc", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
+class WinBasedAttention(nn.Module):
+    """Shifted-window attention block with residual shortcut
+    (reference win_attention.py:118-207). Operates on NHWC."""
+
+    dim: int
+    num_heads: int = 8
+    window_size: int = 8
+    shift_size: int = 0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        w, s = self.window_size, self.shift_size
+        shortcut = x
+        # Pad to a window multiple (reference requires divisibility and
+        # relies on model-level pad-to-128; we degrade gracefully instead).
+        oh, ow = x.shape[1], x.shape[2]
+        ph, pw = (-oh) % w, (-ow) % w
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        b, h, wd, c = x.shape
+
+        mask = None
+        if s > 0:
+            # Static (numpy) mask build so it constant-folds under jit.
+            img = np.zeros((h, wd), np.int32)
+            cnt = 0
+            for hs in (slice(0, h - w), slice(h - w, h - s), slice(h - s, h)):
+                for ws in (slice(0, wd - w), slice(wd - w, wd - s), slice(wd - s, wd)):
+                    img[hs, ws] = cnt
+                    cnt += 1
+            mw = img.reshape(h // w, w, wd // w, w).transpose(0, 2, 1, 3)
+            mw = mw.reshape(-1, w * w)
+            diff = mw[:, None, :] - mw[:, :, None]
+            mask = np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+            x = jnp.roll(x, shift=(-s, -s), axis=(1, 2))
+
+        windows = window_partition(x, w).reshape(-1, w * w, c)
+        attn = WindowAttention(self.dim, w, self.num_heads, self.dtype, name="attn")(
+            windows, mask
+        )
+        attn = attn.reshape(b, -1, w * w, c)
+        x = window_reverse(attn, w, h, wd)
+
+        if s > 0:
+            x = jnp.roll(x, shift=(s, s), axis=(1, 2))
+        if ph or pw:
+            x = x[:, :oh, :ow, :]
+        return shortcut + x
+
+
+class Win_noShift_Attention(nn.Module):
+    """Gated window-attention block a * sigmoid(b) + identity
+    (reference layers.py:45-89)."""
+
+    dim: int
+    num_heads: int = 8
+    window_size: int = 8
+    shift_size: int = 0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        n = self.dim
+        identity = x
+        a = x
+        for i in range(3):
+            a = ResidualUnit(n, act=gelu, dtype=self.dtype, name=f"conv_a{i}")(a)
+        b = WinBasedAttention(
+            n, self.num_heads, self.window_size, self.shift_size, self.dtype, name="win_attn"
+        )(x, deterministic)
+        for i in range(3):
+            b = ResidualUnit(n, act=gelu, dtype=self.dtype, name=f"conv_b{i}")(b)
+        b = Conv(n, kernel_size=1, dtype=self.dtype, name="conv_b_out")(b)
+        return a * jax.nn.sigmoid(b) + identity
