@@ -1,0 +1,321 @@
+"""Channel-autoregressive codec base: shared forward/compress/decompress.
+
+The reference's TCM and WACNN models (reference models/reference/tcm.py:425-635,
+wacnn.py:141-330) share one structure: hyperprior (g_a/h_a + factorized z) and
+a channel-AR Gaussian conditional over `num_slices` latent slices with
+support-conditioned (mu, sigma) transforms and latent-residual prediction.
+
+TPU-native split:
+  * device programs — the full forward (training estimate) and the encoder
+    side are each ONE jit-compiled XLA program; the 5/10-slice AR loop is
+    unrolled at trace time (static), so XLA fuses the whole thing. The
+    decoder compiles one program per slice step (the only true sequential
+    dependency) and keeps rANS state host-side.
+  * host codec — C++ rANS behind the same
+    {"strings": [y_strings, z_strings], "shape": (h, w)} API as the
+    reference (tcm.py:568, 590).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..entropy import factorized as fz
+from ..entropy.gaussian import GaussianConditional
+from ..ops.math import get_scale_table, gaussian_likelihood, build_indexes, ste_round
+
+
+class ChannelARModule(nn.Module):
+    """Abstract linen module for channel-AR codecs.
+
+    Subclasses implement setup() creating:
+      g_a, g_s, h_a, h_mean_s, h_scale_s : callables
+      entropy_bottleneck : EntropyBottleneck
+      cc_mean_transforms, cc_scale_transforms, lrp_transforms : lists
+      atten_mean, atten_scale : lists (or None for no attention)
+    and class attrs num_slices, max_support_slices, M.
+    """
+
+    def slice_support(self, y_hat_slices: list):
+        if self.max_support_slices < 0:
+            return list(y_hat_slices)
+        return y_hat_slices[: self.max_support_slices]
+
+    def _mu_sigma(self, i: int, latent_means, latent_scales, support, y_shape):
+        """(mu, sigma, mean_support) for slice i (reference tcm.py:443-454)."""
+        mean_support = jnp.concatenate([latent_means] + support, axis=-1)
+        if getattr(self, "atten_mean", None) is not None:
+            mean_support = self.atten_mean[i](mean_support)
+        mu = self.cc_mean_transforms[i](mean_support)
+        mu = mu[:, : y_shape[0], : y_shape[1], :]
+
+        scale_support = jnp.concatenate([latent_scales] + support, axis=-1)
+        if getattr(self, "atten_scale", None) is not None:
+            scale_support = self.atten_scale[i](scale_support)
+        sigma = self.cc_scale_transforms[i](scale_support)
+        sigma = sigma[:, : y_shape[0], : y_shape[1], :]
+        return mu, sigma, mean_support
+
+    def _lrp(self, i: int, mean_support, y_hat_slice):
+        """Latent residual prediction refinement (reference tcm.py:461-464)."""
+        lrp_support = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
+        lrp = self.lrp_transforms[i](lrp_support)
+        return y_hat_slice + 0.5 * jnp.tanh(lrp)
+
+    def __call__(self, x, training: bool = True):
+        """Full rate-distortion forward (reference tcm.py:425-478). NHWC."""
+        y = self.g_a(x)
+        y_shape = y.shape[1:3]
+        z = self.h_a(y)
+        _, z_likelihoods = self.entropy_bottleneck(z, training=training)
+
+        z_offset = self.entropy_bottleneck.medians_nhwc()
+        z_hat = ste_round(z - z_offset) + z_offset
+
+        latent_scales = self.h_scale_s(z_hat)
+        latent_means = self.h_mean_s(z_hat)
+
+        y_slices = jnp.split(y, self.num_slices, axis=-1)
+        y_hat_slices, y_lik, mu_list, scale_list = [], [], [], []
+        for i, y_slice in enumerate(y_slices):
+            support = self.slice_support(y_hat_slices)
+            mu, sigma, mean_support = self._mu_sigma(
+                i, latent_means, latent_scales, support, y_shape
+            )
+            mu_list.append(mu)
+            scale_list.append(sigma)
+
+            if training:
+                noise = jax.random.uniform(
+                    self.make_rng("noise"), y_slice.shape, y_slice.dtype, -0.5, 0.5
+                )
+                y_lik_point = y_slice + noise
+            else:
+                y_lik_point = jnp.round(y_slice - mu) + mu
+            y_lik.append(gaussian_likelihood(y_lik_point, sigma, mu))
+
+            y_hat_slice = ste_round(y_slice - mu) + mu
+            y_hat_slice = self._lrp(i, mean_support, y_hat_slice)
+            y_hat_slices.append(y_hat_slice)
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        x_hat = self.g_s(y_hat)
+        return {
+            "x_hat": x_hat,
+            "likelihoods": {
+                "y": jnp.concatenate(y_lik, axis=-1),
+                "z": z_likelihoods,
+            },
+            "para": {
+                "means": jnp.concatenate(mu_list, axis=-1),
+                "scales": jnp.concatenate(scale_list, axis=-1),
+                "y": y,
+            },
+        }
+
+    # ----------------------- codec-path device programs -----------------------
+
+    def encode(self, x, scale_table):
+        """Encoder-side compute as ONE program: symbols + indexes for all
+        slices (reference tcm.py:502-565 without the host coder)."""
+        y = self.g_a(x)
+        y_shape = y.shape[1:3]
+        z = self.h_a(y)
+        z_offset = self.entropy_bottleneck.medians_nhwc()
+        # identical to what the decoder reconstructs from the z bitstream
+        z_hat = jnp.round(z - z_offset) + z_offset
+
+        latent_scales = self.h_scale_s(z_hat)
+        latent_means = self.h_mean_s(z_hat)
+
+        y_slices = jnp.split(y, self.num_slices, axis=-1)
+        y_hat_slices, symbols, indexes = [], [], []
+        for i, y_slice in enumerate(y_slices):
+            support = self.slice_support(y_hat_slices)
+            mu, sigma, mean_support = self._mu_sigma(
+                i, latent_means, latent_scales, support, y_shape
+            )
+            sym = jnp.round(y_slice - mu)
+            idx = build_indexes(sigma, scale_table)
+            symbols.append(sym.astype(jnp.int32))
+            indexes.append(idx)
+            y_hat_slice = self._lrp(i, mean_support, sym + mu)
+            y_hat_slices.append(y_hat_slice)
+
+        return {
+            "z": z,
+            "symbols": jnp.stack(symbols, axis=0),  # [S, B, h, w, C/S]
+            "indexes": jnp.stack(indexes, axis=0),
+        }
+
+    def hyper_synthesis(self, z_hat):
+        return self.h_mean_s(z_hat), self.h_scale_s(z_hat)
+
+    def decode_slice_params(self, i: int, latent_means, latent_scales,
+                            y_hat_slices: Sequence, y_shape, scale_table):
+        """Per-slice decode step, device side (reference tcm.py:607-619)."""
+        support = self.slice_support(list(y_hat_slices))
+        mu, sigma, mean_support = self._mu_sigma(
+            i, latent_means, latent_scales, support, y_shape
+        )
+        return mu, build_indexes(sigma, scale_table), mean_support
+
+    def decode_slice_finish(self, i: int, mean_support, y_hat_slice):
+        return self._lrp(i, mean_support, y_hat_slice)
+
+    def synthesize(self, y_hat):
+        return jnp.clip(self.g_s(y_hat), 0.0, 1.0)
+
+    def aux_loss(self):
+        return self.entropy_bottleneck.aux_loss()
+
+
+class ChannelARCodec:
+    """Host-side wrapper pairing a ChannelARModule + params with the native
+    rANS coder. Mirrors the reference model API: update() / compress() /
+    decompress() / forward (reference models/base.py:79-133)."""
+
+    def __init__(self, module: ChannelARModule, variables):
+        self.module = module
+        self.variables = variables
+        self.gaussian_conditional = GaussianConditional()
+        self.eb_tables: fz.CodingTables | None = None
+        self._jit_cache: dict = {}
+
+    # -------------------------------- state --------------------------------
+
+    @property
+    def params(self):
+        return self.variables["params"]
+
+    def update(self, scale_table=None):
+        """Rebuild integer CDF tables (must run before real coding;
+        reference tcm.py:418-423)."""
+        if scale_table is None:
+            scale_table = np.asarray(get_scale_table())
+        self.gaussian_conditional.update_scale_table(scale_table)
+        eb_params = self.params["entropy_bottleneck"]
+        filters = getattr(self.module, "eb_filters", (3, 3, 3, 3))
+        self.eb_tables = fz.build_tables(eb_params, filters)
+        return True
+
+    def _eb_medians(self) -> np.ndarray:
+        return np.asarray(self.params["entropy_bottleneck"]["quantiles"][:, 0, 1])
+
+    def _jit(self, name, fn):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
+
+    # ------------------------------- forward -------------------------------
+
+    def forward(self, x, training: bool = False, rng=None):
+        if training:
+            rngs = {"noise": rng if rng is not None else jax.random.PRNGKey(0)}
+            return self.module.apply(self.variables, x, training=True, rngs=rngs)
+        fn = self._jit(
+            "fwd_eval", lambda v, xx: self.module.apply(v, xx, training=False)
+        )
+        return fn(self.variables, x)
+
+    # -------------------------------- codec --------------------------------
+
+    def compress(self, x) -> dict:
+        """x: NHWC in [0,1], batch 1 (matching the reference contract)."""
+        assert self.eb_tables is not None, "call update() first"
+        assert x.shape[0] == 1, "compress() codes one image per call"
+        scale_table = jnp.asarray(self.gaussian_conditional.scale_table)
+
+        enc = self._jit(
+            "encode",
+            lambda v, xx, st: self.module.apply(v, xx, st, method=ChannelARModule.encode),
+        )(self.variables, x, scale_table)
+
+        z = np.asarray(enc["z"])
+        z_strings = fz.compress(z, self._eb_medians(), self.eb_tables)
+
+        # Symbol order matches the reference's per-slice channel-major flatten
+        # (tcm.py:551-552): slice-by-slice, NCHW raster within a slice.
+        symbols = np.asarray(enc["symbols"])  # [S, 1, h, w, c]
+        indexes = np.asarray(enc["indexes"])
+        sym_flat = symbols[:, 0].transpose(0, 3, 1, 2).reshape(-1)
+        idx_flat = indexes[:, 0].transpose(0, 3, 1, 2).reshape(-1)
+
+        from ..coding.rans import encode_with_indexes
+
+        t = self.gaussian_conditional.tables
+        y_string = encode_with_indexes(
+            sym_flat, idx_flat, t.quantized_cdf, t.cdf_length, t.offset
+        )
+        return {
+            "strings": [[y_string], z_strings],
+            "shape": (z.shape[1], z.shape[2]),
+        }
+
+    def decompress(self, strings, shape) -> dict:
+        assert self.eb_tables is not None, "call update() first"
+        from ..coding.rans import RansDecoder
+
+        z_hat = fz.decompress(strings[1], shape, self._eb_medians(), self.eb_tables)
+        z_hat = jnp.asarray(z_hat)
+
+        hyper = self._jit(
+            "hyper",
+            lambda v, zz: self.module.apply(
+                v, zz, method=ChannelARModule.hyper_synthesis
+            ),
+        )
+        latent_means, latent_scales = hyper(self.variables, z_hat)
+
+        y_shape = (shape[0] * 4, shape[1] * 4)
+        scale_table = jnp.asarray(self.gaussian_conditional.scale_table)
+        t = self.gaussian_conditional.tables
+
+        decoder = RansDecoder()
+        decoder.set_stream(strings[0][0])
+
+        y_hat_slices = []
+        for i in range(self.module.num_slices):
+
+            def _params_fn(v, lm, ls, st, *sl, _i=i, _ys=y_shape):
+                return self.module.apply(
+                    v, _i, lm, ls, list(sl), _ys, st,
+                    method=ChannelARModule.decode_slice_params,
+                )
+
+            step = self._jit(f"dec_params_{i}_{y_shape}", _params_fn)
+            mu, indexes, mean_support = step(
+                self.variables, latent_means, latent_scales, scale_table,
+                *y_hat_slices,
+            )
+            idx_np = np.asarray(indexes[0]).transpose(2, 0, 1).reshape(-1)
+            rv = decoder.decode_stream(idx_np, t.quantized_cdf, t.cdf_length, t.offset)
+            c = mu.shape[-1]
+            rv = rv.reshape(c, y_shape[0], y_shape[1]).transpose(1, 2, 0)[None]
+            y_hat_raw = jnp.asarray(rv, jnp.float32) + mu
+
+            def _finish_fn(v, ms, yh, _i=i):
+                return self.module.apply(
+                    v, _i, ms, yh, method=ChannelARModule.decode_slice_finish
+                )
+
+            finish = self._jit(f"dec_finish_{i}", _finish_fn)
+            y_hat_slices.append(finish(self.variables, mean_support, y_hat_raw))
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        synth = self._jit(
+            "synth",
+            lambda v, yy: self.module.apply(v, yy, method=ChannelARModule.synthesize),
+        )
+        return {"x_hat": synth(self.variables, y_hat)}
+
+    def aux_loss(self):
+        return self.module.apply(
+            self.variables, method=lambda m: m.aux_loss()
+        )

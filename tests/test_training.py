@@ -1,0 +1,129 @@
+"""Train-step tests on a tiny factorized model (fast to compile)."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reslic_tcm_tpu.entropy.factorized import EntropyBottleneck
+from reslic_tcm_tpu.ops.layers import Conv, Deconv, GDN
+from reslic_tcm_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from reslic_tcm_tpu.training.loss import rate_distortion_loss
+from reslic_tcm_tpu.training.optimizer import configure_optimizers
+from reslic_tcm_tpu.training.step import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    shard_train_step,
+)
+
+
+class TinyFactorized(nn.Module):
+    """Minimal Balle-style factorized codec for train-step testing."""
+
+    n: int = 8
+
+    def setup(self):
+        self.g_a = nn.Sequential([Conv(self.n, 5, 2), GDN(), Conv(self.n, 5, 2)])
+        self.g_s = nn.Sequential(
+            [Deconv(self.n, 5, 2), GDN(inverse=True), Deconv(3, 5, 2)]
+        )
+        self.entropy_bottleneck = EntropyBottleneck(self.n)
+
+    def __call__(self, x, training=True):
+        y = self.g_a(x)
+        y_hat, y_lik = self.entropy_bottleneck(y, training=training)
+        x_hat = self.g_s(y_hat)
+        return {"x_hat": x_hat, "likelihoods": {"y": y_lik}}
+
+    def aux_loss(self):
+        return self.entropy_bottleneck.aux_loss()
+
+
+def _setup():
+    module = TinyFactorized()
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = module.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        x,
+    )
+    main_tx, aux_tx = configure_optimizers(variables["params"])
+    state = create_train_state(variables["params"], main_tx, aux_tx)
+    step = make_train_step(module, main_tx, aux_tx)
+    return module, state, step, main_tx, aux_tx
+
+
+def _batch(n=2, seed=0):
+    rng = np.random.default_rng(seed)
+    g = rng.uniform(size=(n, 8, 8, 3))
+    img = np.repeat(np.repeat(g, 4, axis=1), 4, axis=2)
+    return jnp.asarray(img, jnp.float32)
+
+
+def test_train_step_reduces_loss():
+    module, state, step, *_ = _setup()
+    step = jax.jit(step)
+    batch = _batch()
+    losses = []
+    for i in range(30):
+        state, metrics = step(state, batch, jnp.asarray(0.01), jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_optimizer_masks_separate_quantiles():
+    module, state, step, *_ = _setup()
+    step = jax.jit(step)
+    q0 = np.asarray(state.params["entropy_bottleneck"]["quantiles"])
+    m0 = np.asarray(state.params["g_a"]["layers_0"]["conv"]["kernel"])
+    state, _ = step(state, _batch(), jnp.asarray(0.01), jax.random.PRNGKey(0))
+    q1 = np.asarray(state.params["entropy_bottleneck"]["quantiles"])
+    m1 = np.asarray(state.params["g_a"]["layers_0"]["conv"]["kernel"])
+    # both main and aux params must have moved (by their own optimizers)
+    assert np.abs(q1 - q0).max() > 0
+    assert np.abs(m1 - m0).max() > 0
+
+
+def test_lambda_is_traced_not_static():
+    """Different lambdas must reuse one compilation (multi-rate training
+    draws a random level per batch, reference step.py:37)."""
+    module, state, step, *_ = _setup()
+    jstep = jax.jit(step)
+    batch = _batch()
+    _, m1 = jstep(state, batch, jnp.asarray(0.0025), jax.random.PRNGKey(0))
+    _, m2 = jstep(state, batch, jnp.asarray(0.05), jax.random.PRNGKey(0))
+    assert float(m2["loss"]) != float(m1["loss"])
+    assert jstep._cache_size() == 1
+
+
+def test_sharded_step_matches_single_device():
+    module, state, step, *_ = _setup()
+    batch = _batch(n=8, seed=3)
+
+    single = jax.jit(step)
+    s1, m1 = single(state, batch, jnp.asarray(0.01), jax.random.PRNGKey(0))
+
+    mesh = make_mesh(n_data=8)
+    with mesh:
+        sharded = shard_train_step(step, mesh)
+        state_r = replicate(mesh, state)
+        batch_s = shard_batch(mesh, batch)
+        s2, m2 = sharded(state_r, batch_s, jnp.asarray(0.01), jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-5, atol=1e-6
+    )
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_eval_step_psnr():
+    module, state, *_ = _setup()
+    ev = jax.jit(make_eval_step(module))
+    out = ev(state.params, _batch(), jnp.asarray(0.01))
+    assert np.isfinite(float(out["psnr"]))
+    assert float(out["bpp_loss"]) > 0
