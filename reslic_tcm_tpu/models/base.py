@@ -68,8 +68,34 @@ class ChannelARModule(nn.Module):
         lrp = self.lrp_transforms[i](lrp_support)
         return y_hat_slice + 0.5 * jnp.tanh(lrp)
 
-    def __call__(self, x, training: bool = True):
-        """Full rate-distortion forward (reference tcm.py:425-478). NHWC."""
+    # ------------------------- entropy hooks -------------------------
+    # Overridden by the STanH variants (models/stanh/*): they route slice
+    # quantization through the learnable quantizer and add gap outputs.
+
+    def slice_entropy(self, i, y_slice, sigma, mu, training, beta, lv):
+        """(y_hat_slice, likelihood) for one slice; default = uniform-noise
+        likelihood + STE-round reconstruction (reference tcm.py:455-457)."""
+        if training:
+            noise = jax.random.uniform(
+                self.make_rng("noise"), y_slice.shape, y_slice.dtype, -0.5, 0.5
+            )
+            lik_point = y_slice + noise
+        else:
+            lik_point = jnp.round(y_slice - mu) + mu
+        lik = gaussian_likelihood(lik_point, sigma, mu)
+        y_hat_slice = ste_round(y_slice - mu) + mu
+        return y_hat_slice, lik
+
+    def extra_outputs(self, y, training, beta, lv):
+        return {}
+
+    def apply_synthesis(self, y_hat, lv):
+        return self.g_s(y_hat)
+
+    def __call__(self, x, training: bool = True, lv: int = 0, beta=None):
+        """Full rate-distortion forward (reference tcm.py:425-478). NHWC.
+        lv selects the rate level (static int; only stanh/gain variants use
+        it), beta is the stanh temperature (traced scalar)."""
         y = self.g_a(x)
         y_shape = y.shape[1:3]
         z = self.h_a(y)
@@ -91,22 +117,16 @@ class ChannelARModule(nn.Module):
             mu_list.append(mu)
             scale_list.append(sigma)
 
-            if training:
-                noise = jax.random.uniform(
-                    self.make_rng("noise"), y_slice.shape, y_slice.dtype, -0.5, 0.5
-                )
-                y_lik_point = y_slice + noise
-            else:
-                y_lik_point = jnp.round(y_slice - mu) + mu
-            y_lik.append(gaussian_likelihood(y_lik_point, sigma, mu))
-
-            y_hat_slice = ste_round(y_slice - mu) + mu
+            y_hat_slice, lik = self.slice_entropy(
+                i, y_slice, sigma, mu, training, beta, lv
+            )
+            y_lik.append(lik)
             y_hat_slice = self._lrp(i, mean_support, y_hat_slice)
             y_hat_slices.append(y_hat_slice)
 
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-        x_hat = self.g_s(y_hat)
-        return {
+        x_hat = self.apply_synthesis(y_hat, lv)
+        out = {
             "x_hat": x_hat,
             "likelihoods": {
                 "y": jnp.concatenate(y_lik, axis=-1),
@@ -118,6 +138,8 @@ class ChannelARModule(nn.Module):
                 "y": y,
             },
         }
+        out.update(self.extra_outputs(y, training, beta, lv))
+        return out
 
     # ----------------------- codec-path device programs -----------------------
 

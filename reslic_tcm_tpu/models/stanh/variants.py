@@ -1,0 +1,589 @@
+"""STanH variable-rate model variants: TCM-STanH, WACNN-STanH, Balle-STanH.
+
+Rebuild of reference models/stanh/{tcm_stanh.py, wacnn_stanh.py,
+balle18_stanh.py}: a shared rate-agnostic backbone with one learnable STanH
+quantizer per rate level (stacked [n_rates, L] parameters), beta annealed
+from the host, and a `gap` output driving the schedule.
+
+Differences from the reference, by design (see SURVEY.md section 7.4):
+* the per-level quantizers are one stacked parameter, not a ModuleList;
+* the broken reference compress/decompress paths are replaced by a correct
+  one (symbols = level indexes over per-level CDF tables);
+* `update_state()` mutation becomes pure derived state inside the step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...entropy import factorized as fz
+from ...entropy import stanh as sq
+from ...entropy.stanh_models import (
+    StanhEntropyBottleneck,
+    StanhGaussianConditional,
+    build_stanh_factorized_tables,
+    build_stanh_scale_tables,
+    stanh_gaussian_likelihood,
+)
+from ...entropy.gaussian import GaussianConditional
+from ...ops.layers import Conv
+from ...ops.math import get_scale_table
+from ..balle2018 import HyperpriorCodec, ScaleHyperprior
+from ..base import ChannelARCodec, ChannelARModule
+from ..tcm import TCM
+from ..wacnn import WACNN
+
+DEFAULT_BETA = jnp.float32(10.0)
+
+
+class _StanhChannelARMixin:
+    """Slice-entropy + gap hooks shared by TCM/WACNN stanh variants."""
+
+    def slice_entropy(self, i, y_slice, sigma, mu, training, beta, lv):
+        beta = DEFAULT_BETA if beta is None else beta
+        return self.gaussian_conditional(
+            y_slice, sigma, means=mu, training=training, beta=beta, lv=lv
+        )
+
+    def extra_outputs(self, y, training, beta, lv):
+        beta = DEFAULT_BETA if beta is None else beta
+        return {"gap_gaussian": self.gaussian_conditional.gap(y, beta, lv)}
+
+    def encode_stanh(self, x, scale_table, lv: int = 0):
+        """Encoder-side compute for the stanh codec path: symbols are level
+        indexes; reconstruction mirrors the decoder exactly."""
+        from ...ops.math import build_indexes
+
+        y = self.g_a(x)
+        y_shape = y.shape[1:3]
+        z = self.h_a(y)
+        z_offset = self.entropy_bottleneck.medians_nhwc()
+        z_hat = jnp.round(z - z_offset) + z_offset
+
+        latent_scales = self.h_scale_s(z_hat)
+        latent_means = self.h_mean_s(z_hat)
+        state = self.gaussian_conditional.stanh.state(lv)
+
+        y_slices = jnp.split(y, self.num_slices, axis=-1)
+        y_hat_slices, symbols, indexes = [], [], []
+        for i, y_slice in enumerate(y_slices):
+            support = self.slice_support(y_hat_slices)
+            mu, sigma, mean_support = self._mu_sigma(
+                i, latent_means, latent_scales, support, y_shape
+            )
+            sym = sq.to_symbols(y_slice - mu, state)
+            symbols.append(sym)
+            indexes.append(build_indexes(sigma, scale_table))
+            y_hat_slice = sq.from_symbols(sym, state) + mu
+            y_hat_slices.append(self._lrp(i, mean_support, y_hat_slice))
+
+        return {
+            "z": z,
+            "symbols": jnp.stack(symbols, axis=0),
+            "indexes": jnp.stack(indexes, axis=0),
+        }
+
+
+class TCMStanh(_StanhChannelARMixin, TCM):
+    """TCM with per-level STanH conditionals (reference
+    models/stanh/tcm_stanh.py:312-463)."""
+
+    n_rates: int = 1
+    num_sigmoids: int = 0
+    extrema: int = 80
+    symmetric: bool = False
+    stanh_trainable: bool = True
+    removing_mean: bool = False
+
+    def setup(self):
+        TCM.setup(self)
+        self.gaussian_conditional = StanhGaussianConditional(
+            n_rates=self.n_rates,
+            num_sigmoids=self.num_sigmoids,
+            extrema=self.extrema,
+            symmetric=self.symmetric,
+            trainable=self.stanh_trainable,
+            removing_mean=self.removing_mean,
+        )
+
+
+class WACNNStanh(_StanhChannelARMixin, WACNN):
+    """WACNN with per-level STanH conditionals + decoder refinement modes
+    (reference models/stanh/wacnn_stanh.py:131-335)."""
+
+    n_rates: int = 1
+    num_sigmoids: int = 0
+    extrema: int = 80
+    symmetric: bool = False
+    stanh_trainable: bool = True
+    removing_mean: bool = False
+    refinement: str = "none"  # none | convolution | multiple
+
+    def setup(self):
+        WACNN.setup(self)
+        assert self.refinement in ("none", "convolution", "multiple")
+        self.gaussian_conditional = StanhGaussianConditional(
+            n_rates=self.n_rates,
+            num_sigmoids=self.num_sigmoids,
+            extrema=self.extrema,
+            symmetric=self.symmetric,
+            trainable=self.stanh_trainable,
+            removing_mean=self.removing_mean,
+        )
+        if self.refinement == "convolution":
+            self.refine_layer = [
+                Conv(self.M, kernel_size=1, name=f"refine_{i}")
+                for i in range(self.n_rates)
+            ]
+        elif self.refinement == "multiple":
+            # per-level synthesis: clone g_s n_rates times
+            from ..wacnn import WACNN as _W
+
+            self.g_s_multi = [
+                nn.Sequential(self._make_g_s(), name=f"g_s_{i}")
+                for i in range(self.n_rates)
+            ]
+
+    def _make_g_s(self):
+        from ...ops.layers import Deconv, GDN
+        from ...ops.window_attention import Win_noShift_Attention
+
+        N, M, dt = self.N, self.M, self.dtype
+        return [
+            Win_noShift_Attention(M, 8, 4, 2, dt),
+            Deconv(N, 5, 2, dtype=dt), GDN(inverse=True),
+            Deconv(N, 5, 2, dtype=dt), GDN(inverse=True),
+            Win_noShift_Attention(N, 8, 8, 4, dt),
+            Deconv(N, 5, 2, dtype=dt), GDN(inverse=True),
+            Deconv(3, 5, 2, dtype=dt),
+        ]
+
+    def apply_synthesis(self, y_hat, lv):
+        if self.refinement == "multiple":
+            return self.g_s_multi[lv](y_hat)
+        if self.refinement == "convolution":
+            return self.g_s(self.refine_layer[lv](y_hat))
+        return self.g_s(y_hat)
+
+    def init_levels(self, x):
+        """Init-time trace touching every per-level submodule so all rate
+        levels' params exist (linen creates params lazily per trace)."""
+        out = self(x, training=True, lv=0)
+        if self.refinement != "none":
+            y_hat = out["para"]["y"]
+            for i in range(1, self.n_rates):
+                _ = self.apply_synthesis(y_hat, i)
+        return out
+
+
+class ScaleHyperpriorStanh(ScaleHyperprior):
+    """Balle scale-hyperprior with STanH on y and (optionally) z
+    (reference models/stanh/balle18_stanh.py:8-138)."""
+
+    n_rates: int = 1
+    num_sigmoids: int = 0
+    extrema: int = 80
+    symmetric: bool = False
+    stanh_trainable: bool = True
+    removing_mean: bool = False
+    fact_stanh: bool = True
+
+    def setup(self):
+        ScaleHyperprior.setup(self)
+        self.gaussian_conditional = StanhGaussianConditional(
+            n_rates=self.n_rates,
+            num_sigmoids=self.num_sigmoids,
+            extrema=self.extrema,
+            symmetric=self.symmetric,
+            trainable=self.stanh_trainable,
+            removing_mean=self.removing_mean,
+        )
+        if self.fact_stanh:
+            self.entropy_bottleneck_stanh = StanhEntropyBottleneck(
+                self.N,
+                num_sigmoids=self.num_sigmoids,
+                extrema=self.extrema,
+                symmetric=self.symmetric,
+                trainable=self.stanh_trainable,
+            )
+
+    def __call__(self, x, training: bool = True, lv: int = 0, beta=None,
+                 beta_factorized=None):
+        beta = DEFAULT_BETA if beta is None else beta
+        beta_f = beta if beta_factorized is None else beta_factorized
+
+        y = self.g_a(x)
+        z = self.h_a(jnp.abs(y))
+
+        if self.fact_stanh:
+            eb = self.entropy_bottleneck_stanh
+            gap_factorized = eb.gap(z, beta_f)
+            # reference always runs the EB-stanh forward in 'training'
+            # (soft) mode (balle18_stanh.py:124 with default tr)
+            z_hat, z_lik = eb(z, training=training, beta=beta_f)
+        else:
+            gap_factorized = jnp.zeros(())
+            z_hat, z_lik = self.entropy_bottleneck(z, training=training)
+
+        scales_hat = self.h_s(z_hat)
+        y_hat, y_lik = self.gaussian_conditional(
+            y, scales_hat, means=None, training=training, beta=beta, lv=lv
+        )
+        x_hat = self.g_s(y_hat)
+        gap_gaussian = self.gaussian_conditional.gap(y, beta, lv)
+        return {
+            "x_hat": x_hat,
+            "likelihoods": {"y": y_lik, "z": z_lik},
+            "gap_gaussian": gap_gaussian,
+            "gap_factorized": gap_factorized,
+        }
+
+    def aux_loss(self):
+        if self.fact_stanh:
+            return jnp.zeros(())
+        return self.entropy_bottleneck.aux_loss()
+
+
+# ---------------------------------------------------------------------------
+# Codec wrappers: per-level CDF tables, correct symbol contract.
+# ---------------------------------------------------------------------------
+
+
+class StanhChannelARCodec(ChannelARCodec):
+    """compress/decompress for STanH channel-AR models at a given level."""
+
+    def __init__(self, module, variables):
+        super().__init__(module, variables)
+        self.stanh_tables: dict[int, fz.CodingTables] = {}
+
+    def _stanh_wb(self, lv: int):
+        p = self.params["gaussian_conditional"]["stanh"]
+        return np.asarray(p["w"][lv]), np.asarray(p["b"][lv])
+
+    def update(self, scale_table=None):
+        if scale_table is None:
+            scale_table = np.asarray(get_scale_table())
+        self.gaussian_conditional.update_scale_table(scale_table)
+        filters = getattr(self.module, "eb_filters", (3, 3, 3, 3))
+        self.eb_tables = fz.build_tables(self.params["entropy_bottleneck"], filters)
+        for lv in range(self.module.n_rates):
+            w, b = self._stanh_wb(lv)
+            self.stanh_tables[lv] = build_stanh_scale_tables(
+                w, b, self.module.symmetric, scale_table
+            )
+        return True
+
+    def compress(self, x, lv: int = 0) -> dict:
+        assert self.stanh_tables, "call update() first"
+        scale_table = jnp.asarray(self.gaussian_conditional.scale_table)
+
+        def _enc(v, xx, st):
+            return self.module.apply(
+                v, xx, st, lv, method=type(self.module).encode_stanh
+            )
+
+        enc = self._jit(f"encode_stanh_{lv}", _enc)(self.variables, x, scale_table)
+        z = np.asarray(enc["z"])
+        z_strings = fz.compress(z, self._eb_medians(), self.eb_tables)
+
+        symbols = np.asarray(enc["symbols"])[:, 0].transpose(0, 3, 1, 2).reshape(-1)
+        indexes = np.asarray(enc["indexes"])[:, 0].transpose(0, 3, 1, 2).reshape(-1)
+        from ...coding.rans import encode_with_indexes
+
+        t = self.stanh_tables[lv]
+        y_string = encode_with_indexes(
+            symbols, indexes, t.quantized_cdf, t.cdf_length, t.offset
+        )
+        return {"strings": [[y_string], z_strings], "shape": (z.shape[1], z.shape[2]),
+                "lv": lv}
+
+    def decompress(self, strings, shape, lv: int = 0) -> dict:
+        from ...coding.rans import RansDecoder
+
+        z_hat = jnp.asarray(
+            fz.decompress(strings[1], shape, self._eb_medians(), self.eb_tables)
+        )
+        hyper = self._jit(
+            "hyper",
+            lambda v, zz: self.module.apply(
+                v, zz, method=ChannelARModule.hyper_synthesis
+            ),
+        )
+        latent_means, latent_scales = hyper(self.variables, z_hat)
+        y_shape = (shape[0] * 4, shape[1] * 4)
+        scale_table = jnp.asarray(self.gaussian_conditional.scale_table)
+        t = self.stanh_tables[lv]
+
+        decoder = RansDecoder()
+        decoder.set_stream(strings[0][0])
+        y_hat_slices = []
+        for i in range(self.module.num_slices):
+
+            def _params_fn(v, lm, ls, st, *sl, _i=i, _ys=y_shape):
+                return self.module.apply(
+                    v, _i, lm, ls, list(sl), _ys, st,
+                    method=ChannelARModule.decode_slice_params,
+                )
+
+            step = self._jit(f"dec_params_{i}_{y_shape}", _params_fn)
+            mu, indexes, mean_support = step(
+                self.variables, latent_means, latent_scales, scale_table,
+                *y_hat_slices,
+            )
+            idx_np = np.asarray(indexes[0]).transpose(2, 0, 1).reshape(-1)
+            rv = decoder.decode_stream(idx_np, t.quantized_cdf, t.cdf_length, t.offset)
+            c = mu.shape[-1]
+            rv = rv.reshape(c, y_shape[0], y_shape[1]).transpose(1, 2, 0)[None]
+
+            def _deq_fn(v, sym, m, _lv=lv):
+                return self.module.apply(
+                    v, sym, m, _lv,
+                    method=lambda mod, s, mm, l: mod.gaussian_conditional.dequantize(
+                        s, mm, l
+                    ),
+                )
+
+            y_hat_raw = self._jit(f"deq_{lv}", _deq_fn)(
+                self.variables, jnp.asarray(rv), mu
+            )
+
+            def _finish_fn(v, ms, yh, _i=i):
+                return self.module.apply(
+                    v, _i, ms, yh, method=ChannelARModule.decode_slice_finish
+                )
+
+            y_hat_slices.append(
+                self._jit(f"dec_finish_{i}", _finish_fn)(
+                    self.variables, mean_support, y_hat_raw
+                )
+            )
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+
+        def _synth(v, yy, _lv=lv):
+            return self.module.apply(
+                v, yy, _lv,
+                method=lambda mod, h, l: jnp.clip(mod.apply_synthesis(h, l), 0.0, 1.0),
+            )
+
+        return {"x_hat": self._jit(f"synth_{lv}", _synth)(self.variables, y_hat)}
+
+
+class StanhHyperpriorCodec(HyperpriorCodec):
+    """compress/decompress for ScaleHyperpriorStanh at a given level."""
+
+    def __init__(self, module, variables):
+        super().__init__(module, variables)
+        self.stanh_tables: dict[int, fz.CodingTables] = {}
+
+    def update(self, scale_table=None):
+        if scale_table is None:
+            scale_table = np.asarray(get_scale_table())
+        self.gaussian_conditional.update_scale_table(scale_table)
+        gp = self.params["gaussian_conditional"]["stanh"]
+        for lv in range(self.module.n_rates):
+            self.stanh_tables[lv] = build_stanh_scale_tables(
+                np.asarray(gp["w"][lv]), np.asarray(gp["b"][lv]),
+                self.module.symmetric, scale_table,
+            )
+        if self.module.fact_stanh:
+            ebp = self.params["entropy_bottleneck_stanh"]
+            chain = {k: v for k, v in ebp.items() if k != "stanh"}
+            self.eb_tables = build_stanh_factorized_tables(
+                chain, np.asarray(ebp["stanh"]["w"][0]),
+                np.asarray(ebp["stanh"]["b"][0]), self.module.symmetric,
+            )
+        else:
+            self.eb_tables = fz.build_tables(self.params["entropy_bottleneck"])
+        return True
+
+    def _z_symbols_tables(self):
+        return self.eb_tables
+
+    def compress(self, x, lv: int = 0) -> dict:
+        assert self.stanh_tables, "call update() first"
+        from ...coding.rans import encode_with_indexes
+
+        y, z = self._jit(
+            "an", lambda v, xx: self.module.apply(v, xx, method=type(self.module).analyze)
+        )(self.variables, x)
+        y, z = np.asarray(y), np.asarray(z)
+
+        if self.module.fact_stanh:
+            # z symbols = stanh level indexes, channel-indexed CDF rows
+            def _zsym(v, zz):
+                return self.module.apply(
+                    v, zz,
+                    method=lambda m, a: sq.to_symbols(
+                        jnp.transpose(a, (0, 3, 1, 2)),
+                        m.entropy_bottleneck_stanh.stanh.state(0),
+                    ),
+                )
+
+            zs = np.asarray(self._jit("zsym", _zsym)(self.variables, jnp.asarray(z)))
+            c = z.shape[-1]
+            idx = np.repeat(np.arange(c, dtype=np.int32), z.shape[1] * z.shape[2])
+            t = self.eb_tables
+            z_strings = [
+                encode_with_indexes(zs[i].reshape(-1), idx, t.quantized_cdf,
+                                    t.cdf_length, t.offset)
+                for i in range(z.shape[0])
+            ]
+            z_hat = self._decode_z(z_strings, (z.shape[1], z.shape[2]))
+        else:
+            z_strings = fz.compress(z, self._medians(), self.eb_tables)
+            z_hat = fz.decompress(
+                z_strings, (z.shape[1], z.shape[2]), self._medians(), self.eb_tables
+            )
+
+        scales = self._jit(
+            "hs", lambda v, zz: self.module.apply(v, zz, method=lambda m, a: m.h_s(a))
+        )(self.variables, jnp.asarray(z_hat))
+        indexes = np.asarray(self.gaussian_conditional.indexes(scales))
+
+        def _ysym(v, yy, _lv=lv):
+            return self.module.apply(
+                v, yy,
+                method=lambda m, a: sq.to_symbols(
+                    a, m.gaussian_conditional.stanh.state(_lv)
+                ),
+            )
+
+        ys = np.asarray(self._jit(f"ysym_{lv}", _ysym)(self.variables, jnp.asarray(y)))
+        t = self.stanh_tables[lv]
+        y_strings = [
+            encode_with_indexes(
+                ys[i].transpose(2, 0, 1).reshape(-1),
+                indexes[i].transpose(2, 0, 1).reshape(-1),
+                t.quantized_cdf, t.cdf_length, t.offset,
+            )
+            for i in range(y.shape[0])
+        ]
+        return {"strings": [y_strings, z_strings],
+                "shape": (z.shape[1], z.shape[2]), "lv": lv}
+
+    def _decode_z(self, z_strings, shape):
+        from ...coding.rans import decode_with_indexes
+
+        t = self.eb_tables
+        c = t.quantized_cdf.shape[0]
+        idx = np.repeat(np.arange(c, dtype=np.int32), shape[0] * shape[1])
+        outs = []
+        for s in z_strings:
+            ks = decode_with_indexes(s, idx, t.quantized_cdf, t.cdf_length, t.offset)
+            outs.append(ks.reshape(c, shape[0], shape[1]))
+        ks = jnp.asarray(np.stack(outs, 0).transpose(0, 2, 3, 1))
+
+        def _deq(v, kk):
+            return self.module.apply(
+                v, kk,
+                method=lambda m, a: sq.from_symbols(
+                    a, m.entropy_bottleneck_stanh.stanh.state(0)
+                ),
+            )
+
+        return np.asarray(self._jit("zdeq", _deq)(self.variables, ks))
+
+    def decompress(self, strings, shape, lv: int = 0) -> dict:
+        from ...coding.rans import decode_with_indexes
+
+        if self.module.fact_stanh:
+            z_hat = self._decode_z(strings[1], shape)
+        else:
+            z_hat = fz.decompress(strings[1], shape, self._medians(), self.eb_tables)
+
+        scales = self._jit(
+            "hs", lambda v, zz: self.module.apply(v, zz, method=lambda m, a: m.h_s(a))
+        )(self.variables, jnp.asarray(z_hat))
+        indexes = np.asarray(self.gaussian_conditional.indexes(scales))
+
+        t = self.stanh_tables[lv]
+        outs = []
+        for i, s in enumerate(strings[0]):
+            ks = decode_with_indexes(
+                s, indexes[i].transpose(2, 0, 1).reshape(-1),
+                t.quantized_cdf, t.cdf_length, t.offset,
+            )
+            c = indexes.shape[-1]
+            outs.append(ks.reshape(c, indexes.shape[1], indexes.shape[2]))
+        ks = jnp.asarray(np.stack(outs, 0).transpose(0, 2, 3, 1))
+
+        def _deq(v, kk, _lv=lv):
+            return self.module.apply(
+                v, kk,
+                method=lambda m, a: sq.from_symbols(
+                    a, m.gaussian_conditional.stanh.state(_lv)
+                ),
+            )
+
+        y_hat = self._jit(f"ydeq_{lv}", _deq)(self.variables, ks)
+        x_hat = self._jit(
+            "sy", lambda v, yy: self.module.apply(v, yy, method=type(self.module).synthesize)
+        )(self.variables, y_hat)
+        return {"x_hat": x_hat}
+
+
+# ------------------------------- factories --------------------------------
+
+
+def _stanh_kwargs(gaussian_configuration: Sequence[dict]):
+    g0 = gaussian_configuration[0]
+    return dict(
+        n_rates=len(gaussian_configuration),
+        num_sigmoids=int(g0["num_sigmoids"]),
+        extrema=int(g0["extrema"]),
+        symmetric=bool(g0["symmetry"]),
+        stanh_trainable=bool(g0.get("trainable", True)),
+        removing_mean=bool(g0.get("removing_mean", False)),
+    )
+
+
+def make_wacnn_stanh(gaussian_configuration, N=192, M=320, refinement="none",
+                     rng=None, input_shape=(256, 256), **kwargs):
+    module = WACNNStanh(
+        N=N, M=M, refinement=refinement,
+        **_stanh_kwargs(gaussian_configuration), **kwargs,
+    )
+    return _init_channel_ar(module, rng, input_shape, StanhChannelARCodec)
+
+
+def make_tcm_stanh(gaussian_configuration, N=128, M=320, rng=None,
+                   input_shape=(256, 256), **kwargs):
+    module = TCMStanh(N=N, M=M, **_stanh_kwargs(gaussian_configuration), **kwargs)
+    return _init_channel_ar(module, rng, input_shape, StanhChannelARCodec)
+
+
+def make_scale_stanh(gaussian_configuration, N=128, M=192, fact_stanh=True,
+                     rng=None, input_shape=(256, 256), **kwargs):
+    kw = _stanh_kwargs(gaussian_configuration)
+    kw.pop("removing_mean")
+    module = ScaleHyperpriorStanh(
+        N=N, M=M, fact_stanh=fact_stanh,
+        removing_mean=bool(gaussian_configuration[0].get("removing_mean", False)),
+        **kw, **kwargs,
+    )
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    p_rng, n_rng = jax.random.split(rng)
+    x = jnp.zeros((1, input_shape[0], input_shape[1], 3), jnp.float32)
+    variables = module.init({"params": p_rng, "noise": n_rng}, x, training=True)
+    return StanhHyperpriorCodec(module, variables)
+
+
+def _init_channel_ar(module, rng, input_shape, codec_cls):
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    p_rng, n_rng = jax.random.split(rng)
+    x = jnp.zeros((1, input_shape[0], input_shape[1], 3), jnp.float32)
+    init_method = getattr(type(module), "init_levels", None)
+    if init_method is not None and getattr(module, "refinement", "none") != "none":
+        variables = module.init(
+            {"params": p_rng, "noise": n_rng}, x, method=init_method
+        )
+    else:
+        variables = module.init({"params": p_rng, "noise": n_rng}, x, training=True)
+    return codec_cls(module, variables)

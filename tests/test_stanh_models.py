@@ -1,0 +1,130 @@
+"""Integration tests for the STanH variable-rate model variants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reslic_tcm_tpu.models.stanh.variants import (
+    make_scale_stanh,
+    make_wacnn_stanh,
+)
+
+GCFG = [
+    {"beta": 10, "num_sigmoids": 0, "annealing": "gap_stoc", "symmetry": False,
+     "gap_factor": 25, "extrema": 8, "trainable": True, "removing_mean": False}
+    for _ in range(2)
+]
+
+
+def _image(h=128, w=128, seed=0):
+    rng = np.random.default_rng(seed)
+    g = rng.uniform(size=(1, h // 16, w // 16, 3))
+    img = np.repeat(np.repeat(g, 16, axis=1), 16, axis=2)
+    img += rng.normal(scale=0.02, size=img.shape)
+    return jnp.asarray(np.clip(img, 0, 1), jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def wacnn_stanh():
+    return make_wacnn_stanh(
+        GCFG, N=32, M=40, input_shape=(128, 128),
+        hyper_dims=(40, 36, 32), mean_dims=(32, 36, 40, 44),
+        cc_dims=(28, 24, 20, 16),
+    )
+
+
+def test_multi_rate_forward_and_gap(wacnn_stanh):
+    x = _image()
+    outs = []
+    for lv in range(2):
+        out = wacnn_stanh.module.apply(
+            wacnn_stanh.variables, x, training=True, lv=lv,
+            beta=jnp.float32(20.0), rngs={"noise": jax.random.PRNGKey(0)},
+        )
+        assert "gap_gaussian" in out
+        assert np.isfinite(float(out["gap_gaussian"]))
+        outs.append(out)
+    # per-level quantizer params are stacked: same shapes, indexable
+    p = wacnn_stanh.params["gaussian_conditional"]["stanh"]
+    assert p["w"].shape[0] == 2
+
+
+def test_wacnn_stanh_roundtrip(wacnn_stanh):
+    x = _image(seed=1)
+    out = wacnn_stanh.forward(x, training=False)
+    wacnn_stanh.update()
+    for lv in range(2):
+        enc = wacnn_stanh.compress(x, lv=lv)
+        dec = wacnn_stanh.decompress(enc["strings"], enc["shape"], lv=lv)
+        out_lv = wacnn_stanh.module.apply(
+            wacnn_stanh.variables, x, training=False, lv=lv
+        )
+        want = np.clip(np.asarray(out_lv["x_hat"]), 0, 1)
+        np.testing.assert_allclose(np.asarray(dec["x_hat"]), want, atol=1e-5)
+
+
+def test_wacnn_stanh_bpp_tracks_estimate(wacnn_stanh):
+    x = _image(seed=2)
+    wacnn_stanh.update()
+    out = wacnn_stanh.module.apply(wacnn_stanh.variables, x, training=False, lv=0)
+    est_y = float(-jnp.log2(out["likelihoods"]["y"]).sum())
+    enc = wacnn_stanh.compress(x, lv=0)
+    real_y = len(enc["strings"][0][0]) * 8
+    assert real_y < est_y * 1.3 + 200
+    assert real_y > est_y * 0.7
+
+
+def test_beta_affects_training_forward(wacnn_stanh):
+    x = _image(seed=3)
+    outs = {}
+    for beta in (1.0, 500.0):
+        outs[beta] = wacnn_stanh.module.apply(
+            wacnn_stanh.variables, x, training=True, lv=0,
+            beta=jnp.float32(beta), rngs={"noise": jax.random.PRNGKey(0)},
+        )
+    d = np.abs(
+        np.asarray(outs[1.0]["x_hat"]) - np.asarray(outs[500.0]["x_hat"])
+    ).max()
+    assert d > 1e-4  # temperature changes the soft quantizer output
+    assert float(outs[500.0]["gap_gaussian"]) < float(outs[1.0]["gap_gaussian"])
+
+
+@pytest.fixture(scope="module")
+def scale_stanh():
+    return make_scale_stanh(GCFG, N=16, M=24, fact_stanh=True, input_shape=(64, 64))
+
+
+def test_scale_stanh_forward_gaps(scale_stanh):
+    x = _image(64, 64, seed=4)
+    out = scale_stanh.module.apply(
+        scale_stanh.variables, x, training=True, lv=1, beta=jnp.float32(15.0),
+        rngs={"noise": jax.random.PRNGKey(0)},
+    )
+    assert np.isfinite(float(out["gap_gaussian"]))
+    assert np.isfinite(float(out["gap_factorized"]))
+    assert out["x_hat"].shape == x.shape
+
+
+def test_scale_stanh_roundtrip(scale_stanh):
+    x = _image(64, 64, seed=5)
+    scale_stanh.update()
+    out = scale_stanh.module.apply(scale_stanh.variables, x, training=False, lv=0)
+    enc = scale_stanh.compress(x, lv=0)
+    dec = scale_stanh.decompress(enc["strings"], enc["shape"], lv=0)
+    want = np.clip(np.asarray(out["x_hat"]), 0, 1)
+    np.testing.assert_allclose(np.asarray(dec["x_hat"]), want, atol=1e-5)
+
+
+def test_wacnn_stanh_refinement_modes():
+    for refinement in ("convolution", "multiple"):
+        codec = make_wacnn_stanh(
+            GCFG, N=32, M=40, refinement=refinement, input_shape=(128, 128),
+            hyper_dims=(40, 36, 32), mean_dims=(32, 36, 40, 44),
+            cc_dims=(28, 24, 20, 16),
+        )
+        x = _image(seed=6)
+        o0 = codec.module.apply(codec.variables, x, training=False, lv=0)
+        o1 = codec.module.apply(codec.variables, x, training=False, lv=1)
+        # different per-level decoders -> different reconstructions
+        assert np.abs(np.asarray(o0["x_hat"]) - np.asarray(o1["x_hat"])).max() > 0
