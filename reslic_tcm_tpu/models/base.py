@@ -92,17 +92,31 @@ class ChannelARModule(nn.Module):
     def apply_synthesis(self, y_hat, lv):
         return self.g_s(y_hat)
 
+    # Gain-unit hooks (identity by default; the gain variants scale the
+    # latents by per-level channel gain vectors, models/gain/*).
+    def gain_y(self, y, lv):
+        return y
+
+    def gain_z(self, z, lv):
+        return z
+
+    def inv_gain_z(self, z_hat, lv):
+        return z_hat
+
+    def inv_gain_y(self, y_hat, lv):
+        return y_hat
+
     def __call__(self, x, training: bool = True, lv: int = 0, beta=None):
         """Full rate-distortion forward (reference tcm.py:425-478). NHWC.
         lv selects the rate level (static int; only stanh/gain variants use
         it), beta is the stanh temperature (traced scalar)."""
-        y = self.g_a(x)
+        y = self.gain_y(self.g_a(x), lv)
         y_shape = y.shape[1:3]
-        z = self.h_a(y)
+        z = self.gain_z(self.h_a(y), lv)
         _, z_likelihoods = self.entropy_bottleneck(z, training=training)
 
         z_offset = self.entropy_bottleneck.medians_nhwc()
-        z_hat = ste_round(z - z_offset) + z_offset
+        z_hat = self.inv_gain_z(ste_round(z - z_offset) + z_offset, lv)
 
         latent_scales = self.h_scale_s(z_hat)
         latent_means = self.h_mean_s(z_hat)
@@ -124,7 +138,7 @@ class ChannelARModule(nn.Module):
             y_hat_slice = self._lrp(i, mean_support, y_hat_slice)
             y_hat_slices.append(y_hat_slice)
 
-        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        y_hat = self.inv_gain_y(jnp.concatenate(y_hat_slices, axis=-1), lv)
         x_hat = self.apply_synthesis(y_hat, lv)
         out = {
             "x_hat": x_hat,
@@ -143,15 +157,15 @@ class ChannelARModule(nn.Module):
 
     # ----------------------- codec-path device programs -----------------------
 
-    def encode(self, x, scale_table):
+    def encode(self, x, scale_table, lv: int = 0):
         """Encoder-side compute as ONE program: symbols + indexes for all
         slices (reference tcm.py:502-565 without the host coder)."""
-        y = self.g_a(x)
+        y = self.gain_y(self.g_a(x), lv)
         y_shape = y.shape[1:3]
-        z = self.h_a(y)
+        z = self.gain_z(self.h_a(y), lv)
         z_offset = self.entropy_bottleneck.medians_nhwc()
         # identical to what the decoder reconstructs from the z bitstream
-        z_hat = jnp.round(z - z_offset) + z_offset
+        z_hat = self.inv_gain_z(jnp.round(z - z_offset) + z_offset, lv)
 
         latent_scales = self.h_scale_s(z_hat)
         latent_means = self.h_mean_s(z_hat)
@@ -176,7 +190,8 @@ class ChannelARModule(nn.Module):
             "indexes": jnp.stack(indexes, axis=0),
         }
 
-    def hyper_synthesis(self, z_hat):
+    def hyper_synthesis(self, z_hat, lv: int = 0):
+        z_hat = self.inv_gain_z(z_hat, lv)
         return self.h_mean_s(z_hat), self.h_scale_s(z_hat)
 
     def decode_slice_params(self, i: int, latent_means, latent_scales,
@@ -191,8 +206,9 @@ class ChannelARModule(nn.Module):
     def decode_slice_finish(self, i: int, mean_support, y_hat_slice):
         return self._lrp(i, mean_support, y_hat_slice)
 
-    def synthesize(self, y_hat):
-        return jnp.clip(self.g_s(y_hat), 0.0, 1.0)
+    def synthesize(self, y_hat, lv: int = 0):
+        y_hat = self.inv_gain_y(y_hat, lv)
+        return jnp.clip(self.apply_synthesis(y_hat, lv), 0.0, 1.0)
 
     def aux_loss(self):
         return self.entropy_bottleneck.aux_loss()
@@ -248,16 +264,16 @@ class ChannelARCodec:
 
     # -------------------------------- codec --------------------------------
 
-    def compress(self, x) -> dict:
+    def compress(self, x, lv: int = 0) -> dict:
         """x: NHWC in [0,1], batch 1 (matching the reference contract)."""
         assert self.eb_tables is not None, "call update() first"
         assert x.shape[0] == 1, "compress() codes one image per call"
         scale_table = jnp.asarray(self.gaussian_conditional.scale_table)
 
-        enc = self._jit(
-            "encode",
-            lambda v, xx, st: self.module.apply(v, xx, st, method=ChannelARModule.encode),
-        )(self.variables, x, scale_table)
+        def _enc(v, xx, st, _lv=lv):
+            return self.module.apply(v, xx, st, _lv, method=ChannelARModule.encode)
+
+        enc = self._jit(f"encode_{lv}", _enc)(self.variables, x, scale_table)
 
         z = np.asarray(enc["z"])
         z_strings = fz.compress(z, self._eb_medians(), self.eb_tables)
@@ -280,19 +296,19 @@ class ChannelARCodec:
             "shape": (z.shape[1], z.shape[2]),
         }
 
-    def decompress(self, strings, shape) -> dict:
+    def decompress(self, strings, shape, lv: int = 0) -> dict:
         assert self.eb_tables is not None, "call update() first"
         from ..coding.rans import RansDecoder
 
         z_hat = fz.decompress(strings[1], shape, self._eb_medians(), self.eb_tables)
         z_hat = jnp.asarray(z_hat)
 
-        hyper = self._jit(
-            "hyper",
-            lambda v, zz: self.module.apply(
-                v, zz, method=ChannelARModule.hyper_synthesis
-            ),
-        )
+        def _hyper(v, zz, _lv=lv):
+            return self.module.apply(
+                v, zz, _lv, method=ChannelARModule.hyper_synthesis
+            )
+
+        hyper = self._jit(f"hyper_{lv}", _hyper)
         latent_means, latent_scales = hyper(self.variables, z_hat)
 
         y_shape = (shape[0] * 4, shape[1] * 4)
@@ -331,10 +347,11 @@ class ChannelARCodec:
             y_hat_slices.append(finish(self.variables, mean_support, y_hat_raw))
 
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-        synth = self._jit(
-            "synth",
-            lambda v, yy: self.module.apply(v, yy, method=ChannelARModule.synthesize),
-        )
+
+        def _synth(v, yy, _lv=lv):
+            return self.module.apply(v, yy, _lv, method=ChannelARModule.synthesize)
+
+        synth = self._jit(f"synth_{lv}", _synth)
         return {"x_hat": synth(self.variables, y_hat)}
 
     def aux_loss(self):

@@ -309,13 +309,14 @@ class StanhChannelARCodec(ChannelARCodec):
         z_hat = jnp.asarray(
             fz.decompress(strings[1], shape, self._eb_medians(), self.eb_tables)
         )
-        hyper = self._jit(
-            "hyper",
-            lambda v, zz: self.module.apply(
-                v, zz, method=ChannelARModule.hyper_synthesis
-            ),
+        def _hyper(v, zz, _lv=lv):
+            return self.module.apply(
+                v, zz, _lv, method=ChannelARModule.hyper_synthesis
+            )
+
+        latent_means, latent_scales = self._jit(f"hyper_{lv}", _hyper)(
+            self.variables, z_hat
         )
-        latent_means, latent_scales = hyper(self.variables, z_hat)
         y_shape = (shape[0] * 4, shape[1] * 4)
         scale_table = jnp.asarray(self.gaussian_conditional.scale_table)
         t = self.stanh_tables[lv]
