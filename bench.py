@@ -29,6 +29,12 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: bench iterations recompile nothing
+    import os
+
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 
@@ -38,6 +44,34 @@ def main(argv=None):
     print(f"# device: {dev}", file=sys.stderr)
 
     codec = make_tcm(N=args.N, M=args.M, input_shape=(args.height, args.width))
+
+    # Random init produces absurd-entropy latents (~40 bpp) which swamps the
+    # host coder with bypass escapes; scale the latent-producing convs down
+    # so symbol statistics resemble a trained model (~0.3-1 bpp).
+    import jax.tree_util as jtu
+
+    params = codec.params
+
+    def scale_leaf(tree, path, factor):
+        node = tree
+        for k in path[:-1]:
+            node = node[k]
+        node[path[-1]] = node[path[-1]] * factor
+
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy tree
+    last_ga = sorted(params["g_a"].keys(), key=lambda s: int(s.split("_")[1]))[-1]
+    last_ha = sorted(params["h_a"].keys(), key=lambda s: int(s.split("_")[1]))[-1]
+    for seq, layer in (("g_a", last_ga), ("h_a", last_ha)):
+        leaf = params[seq][layer]["conv"]
+        leaf["kernel"] = leaf["kernel"] * 0.05
+        leaf["bias"] = leaf["bias"] * 0.05
+    # small sigmas: without this, random scale outputs make every symbol
+    # cost ~8 bits (trained models emit mostly small sigma)
+    for i in range(codec.module.num_slices):
+        leaf = params[f"cc_scale_{i}"]["layers_4"]["conv"]
+        leaf["kernel"] = leaf["kernel"] * 0.05
+        leaf["bias"] = leaf["bias"] * 0.0
+    codec.variables = {"params": params}
     codec.update()
 
     rng = np.random.default_rng(0)
@@ -51,13 +85,18 @@ def main(argv=None):
     dec = codec.decompress(enc["strings"], enc["shape"])
     jax.block_until_ready(dec["x_hat"])
 
-    best = float("inf")
+    best = enc_best = dec_best = float("inf")
     for _ in range(args.iters):
         t0 = time.perf_counter()
         enc = codec.compress(x)
+        t1 = time.perf_counter()
         dec = codec.decompress(enc["strings"], enc["shape"])
         jax.block_until_ready(dec["x_hat"])
-        best = min(best, time.perf_counter() - t0)
+        t2 = time.perf_counter()
+        best = min(best, t2 - t0)
+        enc_best = min(enc_best, t1 - t0)
+        dec_best = min(dec_best, t2 - t1)
+    print(f"# enc={enc_best*1000:.1f}ms dec={dec_best*1000:.1f}ms", file=sys.stderr)
 
     mp = args.height * args.width / 1e6
     mps = mp / best

@@ -1,0 +1,146 @@
+"""Evaluation CLI (reference src/eval.py).
+
+Same flag surface and reporting: loads a TCM checkpoint, pads each image to
+a multiple of p=128, runs either the real codec path (--real:
+compress -> decompress through the rANS coder) or the forward-only bpp
+estimate, and reports average PSNR / MS-SSIM(dB) / bpp / wall time.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def parse_args(argv):
+    parser = argparse.ArgumentParser(description="Example testing script.")
+    parser.add_argument("--cuda", action="store_true", help="Use cuda")
+    parser.add_argument(
+        "--clip_max_norm",
+        default=1.0,
+        type=float,
+        help="gradient clipping max norm (default: %(default)s",
+    )
+    parser.add_argument("--checkpoint", type=str, help="Path to a checkpoint")
+    parser.add_argument("--data", type=str, help="Path to dataset")
+    parser.add_argument("--real", action="store_true", default=True)
+    parser.set_defaults(real=False)
+    # framework extras
+    parser.add_argument("--N", type=int, default=128)
+    parser.add_argument("--platform", type=str, default=None)
+    args = parser.parse_args(argv)
+    return args
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from ..data.datasets import list_images, read_image
+    from ..models.tcm import make_tcm
+    from ..ops.math import compute_padding, crop_nhwc, pad_nhwc
+    from ..utils.checkpoint import load_checkpoint
+    from ..utils.metrics import compute_psnr, ms_ssim
+
+    p = 128
+    img_list = [f for f in list_images(args.data)]
+    if not img_list:
+        print(f"no images under {args.data}")
+        return 1
+
+    net = make_tcm(N=args.N, M=320, input_shape=(256, 256))
+    if args.checkpoint:
+        print("Loading", args.checkpoint)
+        if args.checkpoint.endswith((".pth", ".pth.tar", ".pt")):
+            # released PyTorch checkpoints (reference README.md:41-49)
+            from ..utils.torch_convert import convert_state_dict, load_torch_state_dict
+
+            sd = load_torch_state_dict(args.checkpoint)
+            params, report = convert_state_dict(sd, net.params)
+            if report["missing"] or report["unused"]:
+                print(f"converter: {len(report['missing'])} missing, "
+                      f"{len(report['unused'])} unused torch keys")
+            net.variables = {"params": params}
+        else:
+            restored = load_checkpoint(args.checkpoint)
+            params = restored["state"]["params"] if "state" in restored else restored["params"]
+            net.variables = {"params": params}
+
+    count = 0
+    PSNR = 0.0
+    Bit_rate = 0.0
+    MS_SSIM = 0.0
+    total_time = 0.0
+
+    if args.real:
+        net.update()
+
+    for img_path in img_list:
+        img = read_image(img_path)
+        x = jnp.asarray(img)[None]
+        h, w = x.shape[1], x.shape[2]
+        pad, _ = compute_padding(h, w, p)
+        x_padded = pad_nhwc(x, pad)
+        count += 1
+        if args.real:
+            s = time.time()
+            out_enc = net.compress(x_padded)
+            out_dec = net.decompress(out_enc["strings"], out_enc["shape"])
+            jax.block_until_ready(out_dec["x_hat"])
+            e = time.time()
+            total_time += e - s
+            x_hat = crop_nhwc(out_dec["x_hat"], pad)
+            num_pixels = h * w
+            bpp = (len(out_enc["strings"][0][0]) + sum(
+                len(t) for t in out_enc["strings"][1])) * 8.0 / num_pixels
+            psnr_v = compute_psnr(x, x_hat)
+            msssim_v = -10 * math.log10(1 - float(ms_ssim(x, x_hat)))
+            print(f"Bitrate: {bpp:.3f}bpp")
+            print(f"MS-SSIM: {msssim_v:.2f}dB")
+            print(f"PSNR: {psnr_v:.2f}dB")
+            Bit_rate += bpp
+            PSNR += psnr_v
+            MS_SSIM += msssim_v
+        else:
+            s = time.time()
+            out_net = net.forward(x_padded, training=False)
+            jax.block_until_ready(out_net["x_hat"])
+            e = time.time()
+            total_time += e - s
+            x_hat = crop_nhwc(jnp.clip(out_net["x_hat"], 0, 1), pad)
+            num_pixels = x_padded.shape[1] * x_padded.shape[2]
+            bpp = float(sum(
+                -jnp.log2(l).sum() for l in out_net["likelihoods"].values()
+            ) / num_pixels)
+            psnr_v = compute_psnr(x, x_hat)
+            msssim_v = -10 * math.log10(1 - float(ms_ssim(x, x_hat)))
+            print(f"PSNR: {psnr_v:.2f}dB")
+            print(f"MS-SSIM: {msssim_v:.2f}dB")
+            print(f"Bit-rate: {bpp:.3f}bpp")
+            PSNR += psnr_v
+            MS_SSIM += msssim_v
+            Bit_rate += bpp
+
+    PSNR /= count
+    MS_SSIM /= count
+    Bit_rate /= count
+    total_time /= count
+    print(f"average_PSNR: {PSNR:.2f}dB")
+    print(f"average_MS-SSIM: {MS_SSIM:.4f}")
+    print(f"average_Bit-rate: {Bit_rate:.3f} bpp")
+    print(f"average_time: {total_time:.3f} ms")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,287 @@
+"""Training CLI (reference src/train.py).
+
+Same flag surface (utils/parser.py) and training recipe: epoch loop with a
+random rate level per batch, beta-annealing for stanh models, main+aux Adam,
+grad clip, ReduceLROnPlateau on the mean per-lambda validation loss, per-
+lambda Kodak evaluation, best/very-best checkpointing. The per-batch body
+runs as one fused jitted step, data-parallel over all local devices.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    from ..utils.parser import parse_args
+
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from ..data.datasets import ImageFolder, KodakDataset, Loader
+    from ..models import get_model
+    from ..parallel.mesh import make_mesh, replicate, shard_batch
+    from ..training.loss import rate_distortion_loss
+    from ..training.optimizer import configure_optimizers, set_learning_rate
+    from ..training.step import create_train_state, make_eval_step, make_train_step, shard_train_step
+    from ..utils.checkpoint import ReduceLROnPlateau, save_checkpoint, load_checkpoint
+    from ..utils.helper import AverageMeter, create_savepath, sec_to_hours
+    from ..utils.metrics import compute_msssim
+
+    for arg in vars(args):
+        print(arg, ":", getattr(args, arg))
+
+    wandb_run = _maybe_wandb(args)
+
+    if args.seed is not None:
+        random.seed(int(args.seed))
+        np.random.seed(int(args.seed))
+
+    save_path = os.path.join(args.save_path, str(args.lambda_list[-1]))
+    os.makedirs(save_path, exist_ok=True)
+
+    patch = tuple(args.patch_size)
+    train_ds = ImageFolder(args.dataset, num_images=args.num_images, split="train",
+                           patch_size=patch, train=True)
+    valid_ds = ImageFolder(args.dataset, num_images=args.num_images_val, split="test",
+                           patch_size=patch, train=False)
+    train_loader = Loader(train_ds, args.batch_size, seed=int(args.seed),
+                          num_threads=args.num_workers)
+    valid_loader = Loader(valid_ds, args.test_batch_size, seed=0, shuffle=False,
+                          drop_last=False, num_threads=args.num_workers)
+    kodak = None
+    if os.path.isdir(args.kodak):
+        kodak = KodakDataset(args.kodak)
+
+    codec, gcfg, ann_g, fcfg, ann_f = get_model(args, input_shape=patch)
+    module = codec.module
+
+    if args.checkpoint != "none":
+        print("Loading", args.checkpoint)
+        restored = load_checkpoint(args.checkpoint)
+        codec.variables = {"params": restored["state"]["params"]}
+
+    main_tx, aux_tx = configure_optimizers(
+        codec.params, args.learning_rate, float(args.aux_learning_rate),
+        args.clip_max_norm,
+    )
+    state = create_train_state(codec.params, main_tx, aux_tx)
+    scheduler = ReduceLROnPlateau(args.learning_rate, "min", factor=0.5, patience=4)
+
+    lambda_list = list(args.lambda_list)
+    is_stanh = "stanh" in args.model
+    loss_type = args.type
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    train_step = make_train_step(module, main_tx, aux_tx, loss_type)
+    eval_step = make_eval_step(module, loss_type)
+
+    # per-level compiled steps (lv is a static model argument)
+    import functools
+
+    def step_for(lv):
+        def _s(state, batch, lmbda, rng, beta):
+            return _train_step_lv(train_step, state, batch, lmbda, rng, beta, lv)
+        return _s
+
+    def _train_step_lv(base_step, state, batch, lmbda, rng, beta, lv):
+        # re-bind the module forward with lv/beta through a closure
+        import optax as _optax
+
+        def loss_fn(params):
+            kwargs = dict(training=True)
+            if _accepts(module, "lv"):
+                kwargs["lv"] = lv
+            if _accepts(module, "beta") and beta is not None:
+                kwargs["beta"] = beta
+            out = module.apply({"params": params}, batch,
+                               rngs={"noise": rng}, **kwargs)
+            losses = rate_distortion_loss(out, batch, lmbda, loss_type)
+            gap = out.get("gap_gaussian", jnp.zeros(()))
+            return losses["loss"], (losses, gap)
+
+        grads, (losses, gap) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = main_tx.update(grads, state.opt_state, state.params)
+        params = _optax.apply_updates(state.params, updates)
+
+        def aux_fn(p):
+            return module.apply({"params": p}, method=lambda m: m.aux_loss())
+
+        aux_grads = jax.grad(aux_fn)(params)
+        aux_updates, aux_opt_state = aux_tx.update(aux_grads, state.aux_opt_state, params)
+        params = _optax.apply_updates(params, aux_updates)
+        from ..training.step import TrainState
+
+        metrics = dict(losses)
+        metrics["gap"] = gap
+        return TrainState(params, opt_state, aux_opt_state, state.step + 1), metrics
+
+    jit_steps = {lv: jax.jit(step_for(lv), donate_argnums=(0,))
+                 for lv in range(len(lambda_list))}
+
+    def eval_for(lv):
+        def _e(params, batch, lmbda):
+            kwargs = dict(training=False)
+            if _accepts(module, "lv"):
+                kwargs["lv"] = lv
+            out = module.apply({"params": params}, batch, **kwargs)
+            losses = rate_distortion_loss(out, batch, lmbda, loss_type)
+            x_hat = jnp.clip(out["x_hat"], 0, 1)
+            mse = jnp.mean((x_hat - batch) ** 2)
+            losses["psnr"] = -10.0 * jnp.log10(mse)
+            losses["x_hat"] = x_hat
+            return losses
+        return jax.jit(_e)
+
+    jit_evals = {lv: eval_for(lv) for lv in range(len(lambda_list))}
+
+    best_loss = float("inf")
+    counter = 0
+
+    if args.tester:
+        _validate(jit_evals, state.params, valid_loader, lambda_list, loss_type)
+        return 0
+
+    # data-parallel: params replicated, batch sharded over the 'data' axis
+    # (XLA inserts the gradient all-reduce; replaces CustomDataParallel,
+    # reference train.py:168-169)
+    if n_dev > 1:
+        state = replicate(mesh, state)
+
+    for epoch in range(args.epochs):
+        start = time.time()
+        print(f"Learning rate: {scheduler.lr}")
+        meters = {k: AverageMeter() for k in ("loss", "bpp_loss", "mse_loss")}
+
+        for i, batch in enumerate(train_loader):
+            counter += 1
+            p = random.randint(0, len(lambda_list) - 1)
+            beta = jnp.float32(ann_g.beta) if (is_stanh and ann_g is not None) else None
+            if n_dev > 1 and batch.shape[0] % n_dev == 0:
+                batch_j = shard_batch(mesh, batch)
+            else:
+                batch_j = jnp.asarray(batch)
+            state, metrics = jit_steps[p](
+                state, batch_j, jnp.float32(lambda_list[p]),
+                jax.random.PRNGKey(counter), beta,
+            )
+            if is_stanh and ann_g is not None:
+                ann_g.step(gap=float(metrics["gap"]), epoch=epoch,
+                           loss=float(metrics["loss"]))
+            for k in meters:
+                if k in metrics:
+                    meters[k].update(float(metrics[k]))
+            if i % 1000 == 0:
+                print(
+                    f"Train epoch {epoch}: [{i * len(batch)}/{len(train_ds)}]"
+                    f"\tLoss: {float(metrics['loss']):.3f} |"
+                    f"\tBpp loss: {float(metrics['bpp_loss']):.2f} |"
+                )
+            if wandb_run:
+                wandb_run.log({
+                    "train_batch": counter,
+                    "train_batch/losses_batch": float(metrics["loss"]),
+                    "train_batch/bpp_batch": float(metrics["bpp_loss"]),
+                })
+
+        val_loss = _validate(jit_evals, state.params, valid_loader, lambda_list,
+                             loss_type, epoch=epoch, wandb_run=wandb_run)
+        if kodak is not None:
+            _validate(jit_evals, state.params, kodak, lambda_list, loss_type,
+                      epoch=epoch, wandb_run=wandb_run, tag="test")
+
+        new_lr = scheduler.step(val_loss)
+        state = state._replace(opt_state=set_learning_rate(state.opt_state, new_lr))
+
+        is_best = val_loss < best_loss
+        best_loss = min(val_loss, best_loss)
+
+        if args.save:
+            check = "pret" if args.checkpoint != "none" else "zero"
+            name_folder = (check + args.model + "_" + str(args.N) + "_"
+                           + str(args.symmetry) + "_" + str(args.gauss_gp)
+                           + "_" + str(args.lambda_list))
+            cartella = os.path.join(args.save_path, name_folder)
+            os.makedirs(cartella, exist_ok=True)
+            filename, filename_best, very_best = create_savepath(args, epoch, cartella)
+            payload_extra = {
+                "epoch": epoch,
+                "val_loss": float(val_loss),
+                "scheduler": scheduler.state_dict(),
+            }
+            if is_best:
+                save_checkpoint(filename_best, state, payload_extra)
+                save_checkpoint(very_best, state, payload_extra)
+            else:
+                save_checkpoint(filename, state, payload_extra)
+
+        codec.variables = {"params": state.params}
+        sec_to_hours(time.time() - start)
+        print("END OF EPOCH ", epoch)
+
+    return 0
+
+
+def _accepts(module, name: str) -> bool:
+    import inspect
+
+    return name in inspect.signature(type(module).__call__).parameters
+
+
+def _validate(jit_evals, params, loader, lambda_list, loss_type, epoch=0,
+              wandb_run=None, tag="valid"):
+    import jax.numpy as jnp
+
+    from ..utils.helper import AverageMeter
+
+    total = 0.0
+    for j, lmbda in enumerate(lambda_list):
+        loss_m, bpp_m, psnr_m = AverageMeter(), AverageMeter(), AverageMeter()
+        for batch in loader:
+            out = jit_evals[j](params, jnp.asarray(batch), jnp.float32(lmbda))
+            loss_m.update(float(out["loss"]))
+            bpp_m.update(float(out["bpp_loss"]))
+            psnr_m.update(float(out["psnr"]))
+        print(
+            f"{tag} epoch {epoch} (lv {j}): Average losses:"
+            f"\tLoss: {loss_m.avg:.3f} |"
+            f"\tBpp loss: {bpp_m.avg:.2f} |"
+            f"\tPSNR: {psnr_m.avg:.2f}"
+        )
+        if wandb_run:
+            wandb_run.log({
+                f"{tag}_{j}": epoch,
+                f"{tag}_{j}/loss": loss_m.avg,
+                f"{tag}_{j}/bpp": bpp_m.avg,
+                f"{tag}_{j}/psnr": psnr_m.avg,
+            })
+        total += loss_m.avg
+    return total / len(lambda_list)
+
+
+def _maybe_wandb(args):
+    try:
+        import wandb
+
+        if os.environ.get("WANDB_MODE", "") == "disabled":
+            return None
+        if os.environ.get("WANDB_API_KEY") or os.environ.get("WANDB_MODE") == "offline":
+            return wandb.init(project=args.wandb_name)
+    except Exception:
+        pass
+    return None
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -85,7 +85,7 @@ class StanhGaussianConditional(nn.Module):
         )
 
     def __call__(self, values, scales, means=None, training: bool = True,
-                 beta=jnp.float32(10.0), lv=0):
+                 beta=10.0, lv=0):
         state = self.stanh.state(lv)
         if training:
             # reference quantize("training"): mean removal only if configured
@@ -227,7 +227,7 @@ class StanhEntropyBottleneck(nn.Module):
         sign = jax.lax.stop_gradient(-jnp.sign(lower + upper))
         return jnp.abs(jax.nn.sigmoid(sign * upper) - jax.nn.sigmoid(sign * lower))
 
-    def __call__(self, x, training: bool = True, beta=jnp.float32(10.0), lv=0):
+    def __call__(self, x, training: bool = True, beta=10.0, lv=0):
         """x: NHWC -> (x_hat, likelihoods)."""
         bsz, h, w, c = x.shape
         values = jnp.transpose(x, (3, 0, 1, 2)).reshape(c, 1, -1)

@@ -179,20 +179,53 @@ class ChannelARModule(nn.Module):
             )
             sym = jnp.round(y_slice - mu)
             idx = build_indexes(sigma, scale_table)
-            symbols.append(sym.astype(jnp.int32))
-            indexes.append(idx)
+            # transfer-minimal dtypes: symbols fit int16 for any sane model,
+            # scale-table indexes fit uint8 (64 levels)
+            symbols.append(sym.astype(jnp.int16))
+            indexes.append(idx.astype(jnp.uint8))
             y_hat_slice = self._lrp(i, mean_support, sym + mu)
             y_hat_slices.append(y_hat_slice)
 
-        return {
-            "z": z,
-            "symbols": jnp.stack(symbols, axis=0),  # [S, B, h, w, C/S]
-            "indexes": jnp.stack(indexes, axis=0),
-        }
+        # Pack everything into ONE int16 buffer: the device->host link has a
+        # large fixed cost per transfer, so one transfer beats three.
+        # Layout: [ symbols int16 | indexes (as int16) | z bitcast to 2xint16 ]
+        sym_flat = jnp.stack(symbols, axis=0).transpose(1, 0, 4, 2, 3).reshape(
+            x.shape[0], -1
+        )  # [B, S*C/S*h*w] slice-major, channel-major within slice
+        idx_flat = jnp.stack(indexes, axis=0).transpose(1, 0, 4, 2, 3).reshape(
+            x.shape[0], -1
+        ).astype(jnp.int16)
+        z_flat = jax.lax.bitcast_convert_type(z, jnp.int16).reshape(x.shape[0], -1)
+        return jnp.concatenate([sym_flat, idx_flat, z_flat], axis=-1)
 
     def hyper_synthesis(self, z_hat, lv: int = 0):
         z_hat = self.inv_gain_z(z_hat, lv)
         return self.h_mean_s(z_hat), self.h_scale_s(z_hat)
+
+    def analysis(self, x, lv: int = 0):
+        """(y, z, z_hat) — the encoder-side transform; z_hat equals exactly
+        what the decoder reconstructs from the z bitstream."""
+        y = self.gain_y(self.g_a(x), lv)
+        z = self.gain_z(self.h_a(y), lv)
+        z_offset = self.entropy_bottleneck.medians_nhwc()
+        z_hat = jnp.round(z - z_offset) + z_offset
+        return y, z, z_hat
+
+    def quantize_slice(self, i: int, y, mu):
+        """int16 symbols for slice i of y (round(y_i - mu))."""
+        c = self.M // self.num_slices
+        y_slice = jax.lax.slice_in_dim(y, i * c, (i + 1) * c, axis=-1)
+        return jnp.round(y_slice - mu).astype(jnp.int16)
+
+    def pack_for_host(self, syms, idxs, z):
+        """Single int16 transfer buffer: [symbols | indexes | z bitcast]."""
+        b = z.shape[0]
+        sym_flat = jnp.stack(syms, 0).transpose(1, 0, 4, 2, 3).reshape(b, -1)
+        idx_flat = (
+            jnp.stack(idxs, 0).transpose(1, 0, 4, 2, 3).reshape(b, -1).astype(jnp.int16)
+        )
+        z_flat = jax.lax.bitcast_convert_type(z, jnp.int16).reshape(b, -1)
+        return jnp.concatenate([sym_flat, idx_flat, z_flat], axis=-1)
 
     def decode_slice_params(self, i: int, latent_means, latent_scales,
                             y_hat_slices: Sequence, y_shape, scale_table):
@@ -201,9 +234,16 @@ class ChannelARModule(nn.Module):
         mu, sigma, mean_support = self._mu_sigma(
             i, latent_means, latent_scales, support, y_shape
         )
-        return mu, build_indexes(sigma, scale_table), mean_support
+        idx = build_indexes(sigma, scale_table).astype(jnp.uint8)
+        return mu, idx, mean_support
 
     def decode_slice_finish(self, i: int, mean_support, y_hat_slice):
+        return self._lrp(i, mean_support, y_hat_slice)
+
+    def decode_slice_dequant_finish(self, i: int, mean_support, symbols, mu):
+        """Fused dequantize + LRP: takes raw int16 symbols so the host->device
+        transfer is 2 bytes/element."""
+        y_hat_slice = symbols.astype(mu.dtype) + mu
         return self._lrp(i, mean_support, y_hat_slice)
 
     def synthesize(self, y_hat, lv: int = 0):
@@ -251,6 +291,24 @@ class ChannelARCodec:
             self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]
 
+    def _make_params_fn(self, i: int, y_shape):
+        def _params_fn(v, lm, ls, st, *sl, _i=i, _ys=y_shape):
+            return self.module.apply(
+                v, _i, lm, ls, list(sl), _ys, st,
+                method=ChannelARModule.decode_slice_params,
+            )
+
+        return _params_fn
+
+    def _make_finish_fn(self, i: int):
+        def _finish_fn(v, ms, sy, m, _i=i):
+            return self.module.apply(
+                v, _i, ms, sy, m,
+                method=ChannelARModule.decode_slice_dequant_finish,
+            )
+
+        return _finish_fn
+
     # ------------------------------- forward -------------------------------
 
     def forward(self, x, training: bool = False, rng=None):
@@ -266,41 +324,123 @@ class ChannelARCodec:
 
     def compress(self, x, lv: int = 0) -> dict:
         """x: NHWC in [0,1], batch 1 (matching the reference contract)."""
-        assert self.eb_tables is not None, "call update() first"
         assert x.shape[0] == 1, "compress() codes one image per call"
+        return self.compress_batch(x, lv)[0]
+
+    def compress_batch(self, x, lv: int = 0) -> list[dict]:
+        """Batched encode mirroring the decoder's compiled programs.
+
+        The per-slice (mu, sigma, index) math runs through the SAME jitted
+        executables the decoder uses, so scale indexes are bit-identical
+        between encode and decode (different XLA fusions of the same math
+        can differ by an ulp — enough to flip an index at a table boundary).
+        All intermediates stay device-resident; ONE packed device->host
+        transfer at the end, then per-image host rANS (threaded). Symbol
+        order per image matches the reference's per-slice channel-major
+        flatten (tcm.py:551-552)."""
+        assert self.eb_tables is not None, "call update() first"
         scale_table = jnp.asarray(self.gaussian_conditional.scale_table)
+        b = x.shape[0]
+        y_shape = (x.shape[1] // 16, x.shape[2] // 16)
 
-        def _enc(v, xx, st, _lv=lv):
-            return self.module.apply(v, xx, st, _lv, method=ChannelARModule.encode)
+        analysis = self._jit(
+            f"analysis_{lv}",
+            lambda v, xx, _lv=lv: self.module.apply(
+                v, xx, _lv, method=ChannelARModule.analysis
+            ),
+        )
+        y, z, z_hat = analysis(self.variables, x)
 
-        enc = self._jit(f"encode_{lv}", _enc)(self.variables, x, scale_table)
+        # same executable as decompress_batch's hyper step
+        def _hyper(v, zz, _lv=lv):
+            return self.module.apply(v, zz, _lv, method=ChannelARModule.hyper_synthesis)
 
-        z = np.asarray(enc["z"])
-        z_strings = fz.compress(z, self._eb_medians(), self.eb_tables)
+        latent_means, latent_scales = self._jit(f"hyper_{lv}", _hyper)(
+            self.variables, z_hat
+        )
 
-        # Symbol order matches the reference's per-slice channel-major flatten
-        # (tcm.py:551-552): slice-by-slice, NCHW raster within a slice.
-        symbols = np.asarray(enc["symbols"])  # [S, 1, h, w, c]
-        indexes = np.asarray(enc["indexes"])
-        sym_flat = symbols[:, 0].transpose(0, 3, 1, 2).reshape(-1)
-        idx_flat = indexes[:, 0].transpose(0, 3, 1, 2).reshape(-1)
+        syms, idxs = [], []
+        y_hat_slices = []
+        for i in range(self.module.num_slices):
+            step = self._jit(
+                f"dec_params_{i}_{y_shape}_{b}", self._make_params_fn(i, y_shape)
+            )
+            mu, indexes, mean_support = step(
+                self.variables, latent_means, latent_scales, scale_table,
+                *y_hat_slices,
+            )
+            quant = self._jit(
+                f"quant_{i}",
+                lambda v, yy, m, _i=i: self.module.apply(
+                    v, _i, yy, m, method=ChannelARModule.quantize_slice
+                ),
+            )
+            sym = quant(self.variables, y, mu)
+            finish = self._jit(f"dec_finish_{i}_{b}", self._make_finish_fn(i))
+            y_hat_slices.append(finish(self.variables, mean_support, sym, mu))
+            syms.append(sym)
+            idxs.append(indexes)
+
+        pack = self._jit(
+            "pack",
+            lambda v, s, ii, zz: self.module.apply(
+                v, list(s), list(ii), zz, method=ChannelARModule.pack_for_host
+            ),
+        )
+        packed = np.asarray(pack(self.variables, tuple(syms), tuple(idxs), z))
+        b, H, W = x.shape[0], x.shape[1], x.shape[2]
+        n = (H // 16) * (W // 16) * self.module.M
+        zh, zw = H // 64, W // 64
+        zc = getattr(self.module, "hyper_ch", None) or self.module.N
+        symbols = packed[:, :n].astype(np.int32)
+        indexes = packed[:, n : 2 * n].astype(np.int32)
+        z = (
+            np.ascontiguousarray(packed[:, 2 * n :])
+            .reshape(b, zh, zw, zc, 2)
+            .view(np.float32)[..., 0]
+        )
+
+        from concurrent.futures import ThreadPoolExecutor
 
         from ..coding.rans import encode_with_indexes
 
         t = self.gaussian_conditional.tables
-        y_string = encode_with_indexes(
-            sym_flat, idx_flat, t.quantized_cdf, t.cdf_length, t.offset
-        )
-        return {
-            "strings": [[y_string], z_strings],
-            "shape": (z.shape[1], z.shape[2]),
-        }
+        med = self._eb_medians()
+
+        def encode_one(i):
+            y_string = encode_with_indexes(
+                symbols[i], indexes[i], t.quantized_cdf, t.cdf_length, t.offset
+            )
+            z_strings = fz.compress(z[i : i + 1], med, self.eb_tables)
+            return {
+                "strings": [[y_string], z_strings],
+                "shape": (int(zh), int(zw)),
+            }
+
+        if x.shape[0] == 1:
+            return [encode_one(0)]
+        with ThreadPoolExecutor(max_workers=min(8, x.shape[0])) as pool:
+            return list(pool.map(encode_one, range(x.shape[0])))
 
     def decompress(self, strings, shape, lv: int = 0) -> dict:
+        out = self.decompress_batch([strings], shape, lv)
+        return {"x_hat": out["x_hat"][:1]}
+
+    def decompress_batch(self, strings_list, shape, lv: int = 0) -> dict:
+        """Decode B bitstreams together: the per-slice device programs and
+        host<->device transfers are batched (one fixed transfer cost per
+        slice for the whole batch), while each image keeps its own rANS
+        decoder state."""
         assert self.eb_tables is not None, "call update() first"
         from ..coding.rans import RansDecoder
 
-        z_hat = fz.decompress(strings[1], shape, self._eb_medians(), self.eb_tables)
+        z_hat = np.concatenate(
+            [
+                fz.decompress(s[1], shape, self._eb_medians(), self.eb_tables)
+                for s in strings_list
+            ],
+            axis=0,
+        )
         z_hat = jnp.asarray(z_hat)
 
         def _hyper(v, zz, _lv=lv):
@@ -314,37 +454,36 @@ class ChannelARCodec:
         y_shape = (shape[0] * 4, shape[1] * 4)
         scale_table = jnp.asarray(self.gaussian_conditional.scale_table)
         t = self.gaussian_conditional.tables
+        b = len(strings_list)
 
-        decoder = RansDecoder()
-        decoder.set_stream(strings[0][0])
+        decoders = []
+        for s in strings_list:
+            d = RansDecoder()
+            d.set_stream(s[0][0])
+            decoders.append(d)
 
         y_hat_slices = []
         for i in range(self.module.num_slices):
-
-            def _params_fn(v, lm, ls, st, *sl, _i=i, _ys=y_shape):
-                return self.module.apply(
-                    v, _i, lm, ls, list(sl), _ys, st,
-                    method=ChannelARModule.decode_slice_params,
-                )
-
-            step = self._jit(f"dec_params_{i}_{y_shape}", _params_fn)
+            step = self._jit(
+                f"dec_params_{i}_{y_shape}_{b}", self._make_params_fn(i, y_shape)
+            )
             mu, indexes, mean_support = step(
                 self.variables, latent_means, latent_scales, scale_table,
                 *y_hat_slices,
             )
-            idx_np = np.asarray(indexes[0]).transpose(2, 0, 1).reshape(-1)
-            rv = decoder.decode_stream(idx_np, t.quantized_cdf, t.cdf_length, t.offset)
-            c = mu.shape[-1]
-            rv = rv.reshape(c, y_shape[0], y_shape[1]).transpose(1, 2, 0)[None]
-            y_hat_raw = jnp.asarray(rv, jnp.float32) + mu
-
-            def _finish_fn(v, ms, yh, _i=i):
-                return self.module.apply(
-                    v, _i, ms, yh, method=ChannelARModule.decode_slice_finish
+            idx_np = np.asarray(indexes)  # [B, h, w, c] single D2H
+            c = idx_np.shape[-1]
+            sym = np.empty((b, c, y_shape[0], y_shape[1]), np.int16)
+            for j, dec in enumerate(decoders):
+                rv = dec.decode_stream(
+                    idx_np[j].transpose(2, 0, 1).reshape(-1),
+                    t.quantized_cdf, t.cdf_length, t.offset,
                 )
+                sym[j] = rv.reshape(c, y_shape[0], y_shape[1]).astype(np.int16)
+            sym_d = jnp.asarray(sym.transpose(0, 2, 3, 1))  # single H2D
 
-            finish = self._jit(f"dec_finish_{i}", _finish_fn)
-            y_hat_slices.append(finish(self.variables, mean_support, y_hat_raw))
+            finish = self._jit(f"dec_finish_{i}_{b}", self._make_finish_fn(i))
+            y_hat_slices.append(finish(self.variables, mean_support, sym_d, mu))
 
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
 

@@ -250,8 +250,9 @@ def make_gained_hyperprior(kind: str = "scale", N: int = 192, M: int = 320,
     module = cls(N=N, M=M, levels=len(lmbda_list))
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     p_rng, n_rng = jax.random.split(rng)
-    x = jnp.zeros((1, input_shape[0], input_shape[1], 3), jnp.float32)
-    variables = module.init({"params": p_rng, "noise": n_rng}, x, training=True)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    from ...utils.device import init_on_cpu
+    variables = init_on_cpu(module, {"params": p_rng, "noise": n_rng}, x, training=True)
     return GainedHyperpriorCodec(module, variables)
 
 
@@ -260,6 +261,7 @@ def make_gained_wacnn(N: int = 192, M: int = 320, lmbda_list=(0.05,), rng=None,
     module = GainedWACNN(N=N, M=M, levels=len(lmbda_list), **kwargs)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     p_rng, n_rng = jax.random.split(rng)
-    x = jnp.zeros((1, input_shape[0], input_shape[1], 3), jnp.float32)
-    variables = module.init({"params": p_rng, "noise": n_rng}, x, training=True)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    from ...utils.device import init_on_cpu
+    variables = init_on_cpu(module, {"params": p_rng, "noise": n_rng}, x, training=True)
     return ChannelARCodec(module, variables)

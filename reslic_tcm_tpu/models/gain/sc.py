@@ -267,7 +267,8 @@ def make_sc_gained(N: int = 192, M: int = 320, lmbda_list: Sequence[float] = (0.
     module = SCGainedHyperprior(N=N, M=M, levels=len(lmbda_list))
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     p_rng, n_rng = jax.random.split(rng)
-    x = jnp.zeros((1, input_shape[0], input_shape[1], 3), jnp.float32)
-    qmap = jnp.zeros((1, input_shape[0], input_shape[1], 1), jnp.float32)
-    variables = module.init({"params": p_rng, "noise": n_rng}, x, qmap, training=True)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    qmap = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    from ...utils.device import init_on_cpu
+    variables = init_on_cpu(module, {"params": p_rng, "noise": n_rng}, x, qmap, training=True)
     return SCGainedCodec(module, variables)

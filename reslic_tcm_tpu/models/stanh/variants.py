@@ -39,7 +39,7 @@ from ..base import ChannelARCodec, ChannelARModule
 from ..tcm import TCM
 from ..wacnn import WACNN
 
-DEFAULT_BETA = jnp.float32(10.0)
+DEFAULT_BETA = 10.0  # plain float: no device arrays at import time
 
 
 class _StanhChannelARMixin:
@@ -571,20 +571,22 @@ def make_scale_stanh(gaussian_configuration, N=128, M=192, fact_stanh=True,
     )
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     p_rng, n_rng = jax.random.split(rng)
-    x = jnp.zeros((1, input_shape[0], input_shape[1], 3), jnp.float32)
-    variables = module.init({"params": p_rng, "noise": n_rng}, x, training=True)
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    from ...utils.device import init_on_cpu
+    variables = init_on_cpu(module, {"params": p_rng, "noise": n_rng}, x, training=True)
     return StanhHyperpriorCodec(module, variables)
 
 
 def _init_channel_ar(module, rng, input_shape, codec_cls):
+    from ...utils.device import init_on_cpu
+
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     p_rng, n_rng = jax.random.split(rng)
-    x = jnp.zeros((1, input_shape[0], input_shape[1], 3), jnp.float32)
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
     init_method = getattr(type(module), "init_levels", None)
+    rngs = {"params": p_rng, "noise": n_rng}
     if init_method is not None and getattr(module, "refinement", "none") != "none":
-        variables = module.init(
-            {"params": p_rng, "noise": n_rng}, x, method=init_method
-        )
+        variables = init_on_cpu(module, rngs, x, method=init_method)
     else:
-        variables = module.init({"params": p_rng, "noise": n_rng}, x, training=True)
+        variables = init_on_cpu(module, rngs, x, training=True)
     return codec_cls(module, variables)

@@ -114,6 +114,7 @@ def make_wacnn(
     module = WACNN(N=N, M=M, **kwargs)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     p_rng, n_rng = jax.random.split(rng)
-    x = jnp.zeros((1, input_shape[0], input_shape[1], 3), jnp.float32)
-    variables = module.init({"params": p_rng, "noise": n_rng}, x, training=True)
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    from ..utils.device import init_on_cpu
+    variables = init_on_cpu(module, {"params": p_rng, "noise": n_rng}, x, training=True)
     return ChannelARCodec(module, variables)

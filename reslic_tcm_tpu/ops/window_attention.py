@@ -68,9 +68,44 @@ def shift_window_mask(h_windows: int, w_windows: int, w: int, shift: int) -> np.
     )
 
 
+class _Dense(nn.Module):
+    """Lazy-input-dim dense with readable params (paths match nn.Dense)."""
+
+    features: int
+    in_features: int
+    dtype: Any = None
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features)
+        )
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+    def __call__(self, x):
+        return x @ self.kernel.astype(x.dtype) + self.bias.astype(x.dtype)
+
+
+# Global switch for the fused Pallas attention path (inference). Read at
+# trace time: set it BEFORE building/jitting a model.
+_FUSED_ATTENTION = {"enabled": False, "interpret": False}
+
+
+def enable_fused_attention(on: bool = True, interpret: bool = False):
+    _FUSED_ATTENTION["enabled"] = on
+    _FUSED_ATTENTION["interpret"] = interpret
+
+
+def fused_attention_enabled() -> bool:
+    return _FUSED_ATTENTION["enabled"]
+
+
 class WMSA(nn.Module):
     """Window multi-head self-attention of the TCM ConvTransBlock
-    (reference tcm.py:139-212). type 'SW' applies a cyclic shift of w//2."""
+    (reference tcm.py:139-212). type 'SW' applies a cyclic shift of w//2.
+
+    Two equivalent execution paths: the composed XLA graph (training /
+    default) and a fused Pallas kernel over VMEM-resident window tiles
+    (enable_fused_attention)."""
 
     dim: int
     head_dim: int
@@ -78,47 +113,74 @@ class WMSA(nn.Module):
     type: str = "W"  # 'W' | 'SW'
     dtype: Any = None
 
-    @nn.compact
+    def setup(self):
+        w = self.window_size
+        n_heads = self.dim // self.head_dim
+        self.relative_position_params = self.param(
+            "relative_position_params",
+            nn.initializers.truncated_normal(0.02 / 0.87962566103423978),
+            (n_heads, 2 * w - 1, 2 * w - 1),
+        )
+        self.embedding_layer = _Dense(3 * self.dim, self.dim, self.dtype)
+        self.linear = _Dense(self.dim, self.dim, self.dtype)
+
+    def _rel_bias(self):
+        w = self.window_size
+        n_heads = self.dim // self.head_dim
+        idx = relative_position_index(w)
+        return self.relative_position_params.reshape(n_heads, -1)[
+            :, idx.reshape(-1)
+        ].reshape(n_heads, w * w, w * w)
+
     def __call__(self, x):
         w = self.window_size
         n_heads = self.dim // self.head_dim
         scale = self.head_dim**-0.5
         b, h, wd, c = x.shape
 
-        rel_table = self.param(
-            "relative_position_params",
-            nn.initializers.truncated_normal(0.02 / 0.87962566103423978),
-            (n_heads, 2 * w - 1, 2 * w - 1),
-        )
-
         if self.type != "W":
             x = jnp.roll(x, shift=(-(w // 2), -(w // 2)), axis=(1, 2))
 
         windows = window_partition(x, w)  # [b, nW, p2, c]
-        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="embedding_layer")(windows)
-        qkv = qkv.reshape(b, windows.shape[1], w * w, 3, n_heads, self.head_dim)
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-        # [b, nW, p2, heads, hd] -> attention over p2 per (b, nW, head)
-        sim = jnp.einsum("bwphc,bwqhc->bwhpq", q, k) * scale
+        bias = self._rel_bias()
 
-        idx = relative_position_index(w)
-        bias = rel_table.reshape(n_heads, -1)[:, idx.reshape(-1)].reshape(
-            n_heads, w * w, w * w
-        )
-        sim = sim + bias[None, None].astype(sim.dtype)
+        if fused_attention_enabled():
+            from .pallas_attn import fused_qkv_attention
 
-        if self.type != "W":
-            mask = shift_window_mask(h // w, wd // w, w, shift=w // 2)
-            sim = jnp.where(
-                jnp.asarray(mask)[None, :, None], jnp.asarray(-jnp.inf, sim.dtype), sim
+            mask = None
+            if self.type != "W":
+                m = shift_window_mask(h // w, wd // w, w, shift=w // 2)
+                mask = jnp.where(jnp.asarray(m), -jnp.inf, 0.0).astype(jnp.float32)
+                mask = jnp.tile(mask, (b, 1, 1))
+            flat = windows.reshape(-1, w * w, c)
+            out = fused_qkv_attention(
+                flat,
+                self.embedding_layer.kernel, self.embedding_layer.bias,
+                bias.astype(jnp.float32),
+                self.linear.kernel, self.linear.bias,
+                mask=mask,
+                interpret=_FUSED_ATTENTION["interpret"],
             )
+            out = out.reshape(b, windows.shape[1], w * w, c)
+        else:
+            qkv = self.embedding_layer(windows)
+            qkv = qkv.reshape(b, windows.shape[1], w * w, 3, n_heads, self.head_dim)
+            q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+            sim = jnp.einsum("bwphc,bwqhc->bwhpq", q, k) * scale
+            sim = sim + bias[None, None].astype(sim.dtype)
+            if self.type != "W":
+                mask = shift_window_mask(h // w, wd // w, w, shift=w // 2)
+                sim = jnp.where(
+                    jnp.asarray(mask)[None, :, None],
+                    jnp.asarray(-jnp.inf, sim.dtype),
+                    sim,
+                )
+            probs = jax.nn.softmax(sim, axis=-1)
+            out = jnp.einsum("bwhpq,bwqhc->bwphc", probs, v)
+            out = out.reshape(b, windows.shape[1], w * w, self.dim)
+            out = self.linear(out)
 
-        probs = jax.nn.softmax(sim, axis=-1)
-        out = jnp.einsum("bwhpq,bwqhc->bwphc", probs, v)
-        out = out.reshape(b, windows.shape[1], w * w, self.dim)
-        out = nn.Dense(self.dim, dtype=self.dtype, name="linear")(out)
         out = window_reverse(out, w, h, wd)
-
         if self.type != "W":
             out = jnp.roll(out, shift=(w // 2, w // 2), axis=(1, 2))
         return out
