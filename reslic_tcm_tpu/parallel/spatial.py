@@ -1,0 +1,165 @@
+"""Spatial scaling for high-resolution inference (Tecnick/CLIC).
+
+Two TPU-native mechanisms (the reference handles resolution only by padding
+to 128 on one device, reference eval.py:33-47):
+
+1. halo_exchange / sharded_conv2d — a true spatially-sharded compute
+   primitive: the image (or latent grid) is sharded along H over a mesh
+   axis, and each shard exchanges `halo` rows with its neighbors over ICI
+   (ppermute inside shard_map) before a windowed op. Bit-equal to the
+   unsharded op; building block for fully sharded transforms.
+
+2. tile_image / untile_image — overlap-tiled inference: split a huge image
+   into a batch of overlapping tiles, run the (batched, data-parallel)
+   forward or codec over the tile batch, and stitch the centers. Maps
+   resolution onto the batch dimension, which is exactly what keeps the MXU
+   busy; borders differ from a monolithic forward only within the overlap
+   margin (64 px covers TCM's receptive field comfortably).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+# --------------------------- halo exchange (ICI) ---------------------------
+
+
+def halo_exchange(x_shard: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
+    """Inside shard_map: pad a [B, h_shard, W, C] shard with `halo` rows from
+    the previous/next shard along the named mesh axis (zero rows at the
+    outer edges, matching 'same' conv padding)."""
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+
+    top_rows = x_shard[:, :halo]  # my first rows -> neighbor below
+    bot_rows = x_shard[:, -halo:]  # my last rows -> neighbor above
+
+    # receive previous shard's bottom rows (shift down the ring)
+    from_prev = jax.lax.ppermute(
+        bot_rows, axis_name, [(i, (i + 1) % n) for i in range(n)]
+    )
+    # receive next shard's top rows
+    from_next = jax.lax.ppermute(
+        top_rows, axis_name, [(i, (i - 1) % n) for i in range(n)]
+    )
+    zeros = jnp.zeros_like(from_prev)
+    top = jnp.where(idx == 0, zeros, from_prev)
+    bottom = jnp.where(idx == n - 1, zeros, from_next)
+    return jnp.concatenate([top, x_shard, bottom], axis=1)
+
+
+def sharded_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, mesh: Mesh,
+                   axis_name: str = "data") -> jnp.ndarray:
+    """'Same'-padded stride-1 conv with H sharded over `axis_name`.
+
+    x: [B, H, W, C] (H divisible by the axis size), kernel HWIO (odd kh).
+    Equals the unsharded conv bit-for-bit away from fp reorder effects.
+    """
+    kh = kernel.shape[0]
+    halo = kh // 2
+
+    def body(x_shard, k):
+        padded = halo_exchange(x_shard, halo, axis_name)
+        return jax.lax.conv_general_dilated(
+            padded, k, (1, 1),
+            padding=((0, 0), (kernel.shape[1] // 2, kernel.shape[1] // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    from jax.experimental.shard_map import shard_map
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None, None), P(None, None, None, None)),
+        out_specs=P(None, axis_name, None, None),
+    )(x, kernel)
+
+
+# ----------------------------- tiled inference -----------------------------
+
+
+def tile_grid(h: int, w: int, tile: int, overlap: int):
+    """Tile origin list covering [h, w] with `tile`-sized tiles stepping
+    tile - 2*overlap; the last row/col is shifted in to stay in bounds."""
+    step = tile - 2 * overlap
+    assert step > 0
+    ys = list(range(0, max(h - tile, 0) + 1, step))
+    xs = list(range(0, max(w - tile, 0) + 1, step))
+    if not ys or ys[-1] + tile < h:
+        ys.append(h - tile)
+    if not xs or xs[-1] + tile < w:
+        xs.append(w - tile)
+    return [(y, x) for y in ys for x in xs]
+
+
+def tile_image(x: jnp.ndarray, tile: int = 512, overlap: int = 64):
+    """[1, H, W, C] -> ([T, tile, tile, C], positions). H, W >= tile."""
+    _, h, w, _ = x.shape
+    pos = tile_grid(h, w, tile, overlap)
+    tiles = jnp.stack([x[0, y : y + tile, x0 : x0 + tile] for (y, x0) in pos])
+    return tiles, pos
+
+
+def untile_image(tiles: jnp.ndarray, pos, h: int, w: int, tile: int,
+                 overlap: int) -> jnp.ndarray:
+    """Stitch tile outputs back, keeping each tile's center region."""
+    c = tiles.shape[-1]
+    out = np.zeros((h, w, c), np.float32)
+    filled = np.zeros((h, w, 1), np.float32)
+    t_np = np.asarray(tiles)
+    for k, (y, x0) in enumerate(pos):
+        y0 = 0 if y == 0 else overlap
+        x_0 = 0 if x0 == 0 else overlap
+        y1 = tile if y + tile >= h else tile - overlap
+        x_1 = tile if x0 + tile >= w else tile - overlap
+        region = t_np[k, y0:y1, x_0:x_1]
+        mask = filled[y + y0 : y + y1, x0 + x_0 : x0 + x_1] == 0
+        out[y + y0 : y + y1, x0 + x_0 : x0 + x_1] = np.where(
+            mask, region, out[y + y0 : y + y1, x0 + x_0 : x0 + x_1]
+        )
+        filled[y + y0 : y + y1, x0 + x_0 : x0 + x_1] = 1
+    return jnp.asarray(out)[None]
+
+
+def tiled_forward(codec, x: jnp.ndarray, tile: int = 512, overlap: int = 64,
+                  tile_batch: int = 8):
+    """Eval-mode forward over overlapping tiles; returns stitched x_hat and
+    the summed rate estimate in bits. Borders differ from a monolithic
+    forward only inside the overlap margin."""
+    _, h, w, _ = x.shape
+    if h <= tile and w <= tile:
+        out = codec.forward(x, training=False)
+        bits = sum(
+            float(-jnp.log2(l).sum()) for l in out["likelihoods"].values()
+        )
+        return jnp.clip(out["x_hat"], 0, 1), bits
+
+    tiles, pos = tile_image(x, tile, overlap)
+    outs = []
+    bits = 0.0
+    for i in range(0, tiles.shape[0], tile_batch):
+        chunk = tiles[i : i + tile_batch]
+        out = codec.forward(chunk, training=False)
+        outs.append(jnp.clip(out["x_hat"], 0, 1))
+        # rate: count only each tile's center contribution approximately by
+        # scaling with the kept-area fraction
+        for k in range(chunk.shape[0]):
+            y, x0 = pos[i + k]
+            y0 = 0 if y == 0 else overlap
+            x_0 = 0 if x0 == 0 else overlap
+            y1 = tile if y + tile >= h else tile - overlap
+            x_1 = tile if x0 + tile >= w else tile - overlap
+            frac = ((y1 - y0) * (x_1 - x_0)) / (tile * tile)
+            bits += frac * sum(
+                float(-jnp.log2(l[k]).sum()) for l in out["likelihoods"].values()
+            )
+    x_hat = untile_image(jnp.concatenate(outs, 0), pos, h, w, tile, overlap)
+    return x_hat, bits
