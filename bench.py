@@ -5,12 +5,18 @@ Prints ONE JSON line:
 
 Baseline target (BASELINE.json): TCM-Large (N=128) encode+decode
 > 20 megapixels/sec/chip on TPU v5e. vs_baseline = value / 20.
+
+Notes on this host: the TPU is reached through a tunnel whose device->host
+link has ~30 ms fixed cost per transfer and ~25 MB/s bandwidth — far below
+a production PCIe/DMA path — so the batched codec APIs are used to amortize
+per-transfer costs across images.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -21,88 +27,95 @@ def main(argv=None):
     p.add_argument("--M", type=int, default=320)
     p.add_argument("--height", type=int, default=768)
     p.add_argument("--width", type=int, default=512)
-    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--iters", type=int, default=2)
     p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    p.add_argument("--no-fused-attn", action="store_true")
     args = p.parse_args(argv)
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    # persistent compile cache: bench iterations recompile nothing
-    import os
-
     os.makedirs("/tmp/jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
 
     from reslic_tcm_tpu.models.tcm import make_tcm
+    from reslic_tcm_tpu.ops.window_attention import enable_fused_attention
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
-    codec = make_tcm(N=args.N, M=args.M, input_shape=(args.height, args.width))
+    t0 = time.time()
+    codec = make_tcm(N=args.N, M=args.M)
+    print(f"# init {time.time()-t0:.0f}s", file=sys.stderr)
+    # after init: the eager CPU init must not trace the Pallas kernel
+    if not args.no_fused_attn and dev.platform != "cpu":
+        enable_fused_attention(True)
 
-    # Random init produces absurd-entropy latents (~40 bpp) which swamps the
-    # host coder with bypass escapes; scale the latent-producing convs down
-    # so symbol statistics resemble a trained model (~0.3-1 bpp).
-    import jax.tree_util as jtu
-
-    params = codec.params
-
-    def scale_leaf(tree, path, factor):
-        node = tree
-        for k in path[:-1]:
-            node = node[k]
-        node[path[-1]] = node[path[-1]] * factor
-
-    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy tree
+    # Random init produces absurd-entropy latents; scale the latent-producing
+    # convs and the (mu, sigma) heads so symbol statistics resemble a trained
+    # model (~0.3-1 bpp y + small sigma), which is what the host coder sees
+    # in production.
+    params = jax.tree_util.tree_map(lambda x: x, codec.params)
     last_ga = sorted(params["g_a"].keys(), key=lambda s: int(s.split("_")[1]))[-1]
     last_ha = sorted(params["h_a"].keys(), key=lambda s: int(s.split("_")[1]))[-1]
     for seq, layer in (("g_a", last_ga), ("h_a", last_ha)):
         leaf = params[seq][layer]["conv"]
-        leaf["kernel"] = leaf["kernel"] * 0.05
-        leaf["bias"] = leaf["bias"] * 0.05
-    # small sigmas: without this, random scale outputs make every symbol
-    # cost ~8 bits (trained models emit mostly small sigma)
+        leaf["kernel"] = leaf["kernel"] * 0.02
+        leaf["bias"] = leaf["bias"] * 0.02
     for i in range(codec.module.num_slices):
-        leaf = params[f"cc_scale_{i}"]["layers_4"]["conv"]
-        leaf["kernel"] = leaf["kernel"] * 0.05
-        leaf["bias"] = leaf["bias"] * 0.0
+        for nm in ("cc_scale", "cc_mean"):
+            leaf = params[f"{nm}_{i}"]["layers_4"]["conv"]
+            leaf["kernel"] = leaf["kernel"] * 0.02
+            leaf["bias"] = leaf["bias"] * (0.0 if nm == "cc_scale" else 0.02)
     codec.variables = {"params": params}
     codec.update()
 
     rng = np.random.default_rng(0)
-    g = rng.uniform(size=(1, args.height // 16, args.width // 16, 3))
-    img = np.repeat(np.repeat(g, 16, axis=1), 16, axis=2)
-    img = np.clip(img + rng.normal(scale=0.02, size=img.shape), 0, 1)
-    x = jnp.asarray(img, jnp.float32)
 
-    # warmup (compiles encoder/decoder programs)
-    enc = codec.compress(x)
-    dec = codec.decompress(enc["strings"], enc["shape"])
+    def img(seed):
+        r = np.random.default_rng(seed)
+        g = r.uniform(size=(1, args.height // 16, args.width // 16, 3))
+        im = np.repeat(np.repeat(g, 16, axis=1), 16, axis=2)
+        return np.clip(im + r.normal(0, 0.02, im.shape), 0, 1).astype(np.float32)
+
+    x = jnp.asarray(np.concatenate([img(i) for i in range(args.batch)], axis=0))
+
+    # warmup (compiles all codec programs)
+    t0 = time.time()
+    encs = codec.compress_batch(x)
+    dec = codec.decompress_batch([e["strings"] for e in encs], encs[0]["shape"])
     jax.block_until_ready(dec["x_hat"])
+    print(f"# warmup/compile {time.time()-t0:.0f}s", file=sys.stderr)
 
     best = enc_best = dec_best = float("inf")
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        enc = codec.compress(x)
+        encs = codec.compress_batch(x)
         t1 = time.perf_counter()
-        dec = codec.decompress(enc["strings"], enc["shape"])
+        dec = codec.decompress_batch([e["strings"] for e in encs], encs[0]["shape"])
         jax.block_until_ready(dec["x_hat"])
         t2 = time.perf_counter()
         best = min(best, t2 - t0)
         enc_best = min(enc_best, t1 - t0)
         dec_best = min(dec_best, t2 - t1)
-    print(f"# enc={enc_best*1000:.1f}ms dec={dec_best*1000:.1f}ms", file=sys.stderr)
 
-    mp = args.height * args.width / 1e6
+    mp = args.batch * args.height * args.width / 1e6
     mps = mp / best
-    nbytes = len(enc["strings"][0][0]) + sum(len(s) for s in enc["strings"][1])
-    bpp = nbytes * 8 / (args.height * args.width)
-    print(f"# best={best*1000:.1f}ms bpp={bpp:.3f}", file=sys.stderr)
+    nbytes = sum(
+        len(e["strings"][0][0]) + sum(len(s) for s in e["strings"][1]) for e in encs
+    )
+    bpp = nbytes * 8 / (args.batch * args.height * args.width)
+    print(
+        f"# batch={args.batch} enc={enc_best*1000:.0f}ms dec={dec_best*1000:.0f}ms "
+        f"bpp={bpp:.3f}",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
