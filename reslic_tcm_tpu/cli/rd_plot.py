@@ -15,18 +15,18 @@ import sys
 # In-code anchors from the reference (rd_plot.py:118-128, train.py:122-123).
 REFERENCE_CURVES = {
     "proposed (stanh multi-rate)": {
-        "bpp": [0.0952, 0.127, 0.1598, 0.1914, 0.2506, 0.3239, 0.375, 0.4269,
-                0.4894, 0.5821, 0.6744, 0.7315],
-        "psnr": [26.21, 27.0, 27.94, 28.74, 29.96, 31.11, 31.79, 32.4, 33.01,
-                 33.83, 34.41, 34.633],
+        "bpp": [0.0952, 0.14, 0.179, 0.21, 0.236, 0.274, 0.325, 0.406, 0.446,
+                0.486, 0.57, 0.7315],
+        "psnr": [26.21, 27.23, 28.74, 29.374, 29.79, 30.342, 30.937, 31.535,
+                 32.078, 32.49, 33.34, 34.633],
     },
     "gain": {
         "bpp": [0.09, 0.2024, 0.342, 0.7252, 0.8835],
-        "psnr": [25.92, 27.58, 29.26, 34.19, 35.24],
+        "psnr": [25.9183, 27.582, 29.256, 34.186, 35.235],
     },
     "base": {
-        "bpp": [0.131, 0.209, 0.320, 0.478, 0.669],
-        "psnr": [27.58, 29.20, 30.97, 32.84, 34.53],
+        "bpp": [0.1313, 0.2089, 0.3199, 0.4784, 0.6687],
+        "psnr": [27.5815, 29.1967, 30.9722, 32.8382, 34.5263],
     },
 }
 

@@ -280,28 +280,106 @@ class StanhChannelARCodec(ChannelARCodec):
         return True
 
     def compress(self, x, lv: int = 0) -> dict:
+        """Encoder mirroring the decoder's compiled programs (same executables
+        for the per-slice (mu, sigma, index) math — see ChannelARCodec
+        .compress_batch for why), with stanh symbolization per slice."""
         assert self.stanh_tables, "call update() first"
-        scale_table = jnp.asarray(self.gaussian_conditional.scale_table)
+        from ..base import ChannelARModule
 
-        def _enc(v, xx, st):
+        scale_table = jnp.asarray(self.gaussian_conditional.scale_table)
+        y_shape = (x.shape[1] // 16, x.shape[2] // 16)
+        b = x.shape[0]
+
+        analysis = self._jit(
+            f"analysis_{lv}",
+            lambda v, xx, _lv=lv: self.module.apply(
+                v, xx, _lv, method=ChannelARModule.analysis
+            ),
+        )
+        y, z, z_hat = analysis(self.variables, x)
+
+        def _hyper(v, zz, _lv=lv):
             return self.module.apply(
-                v, xx, st, lv, method=type(self.module).encode_stanh
+                v, zz, _lv, method=ChannelARModule.hyper_synthesis
             )
 
-        enc = self._jit(f"encode_stanh_{lv}", _enc)(self.variables, x, scale_table)
-        z = np.asarray(enc["z"])
-        z_strings = fz.compress(z, self._eb_medians(), self.eb_tables)
+        latent_means, latent_scales = self._jit(f"hyper_{lv}", _hyper)(
+            self.variables, z_hat
+        )
 
-        symbols = np.asarray(enc["symbols"])[:, 0].transpose(0, 3, 1, 2).reshape(-1)
-        indexes = np.asarray(enc["indexes"])[:, 0].transpose(0, 3, 1, 2).reshape(-1)
+        syms, idxs = [], []
+        y_hat_slices = []
+        for i in range(self.module.num_slices):
+            step = self._jit(
+                f"dec_params_{i}_{y_shape}_{b}", self._make_params_fn(i, y_shape)
+            )
+            mu, indexes, mean_support = step(
+                self.variables, latent_means, latent_scales, scale_table,
+                *y_hat_slices,
+            )
+
+            def _sym_fn(v, yy, m, _i=i, _lv=lv):
+                def inner(mod, yy, m):
+                    c = mod.M // mod.num_slices
+                    y_slice = jax.lax.slice_in_dim(
+                        yy, _i * c, (_i + 1) * c, axis=-1
+                    )
+                    state = mod.gaussian_conditional.stanh.state(_lv)
+                    return sq.to_symbols(y_slice - m, state).astype(jnp.int16)
+
+                return self.module.apply(v, yy, m, method=inner)
+
+            sym = self._jit(f"stanh_sym_{i}_{lv}", _sym_fn)(self.variables, y, mu)
+
+            def _deq_fn(v, sy, m, _lv=lv):
+                return self.module.apply(
+                    v, sy, m, _lv,
+                    method=lambda mod, s, mm, l: mod.gaussian_conditional.dequantize(
+                        s, mm, l
+                    ),
+                )
+
+            y_hat_raw = self._jit(f"deq_{lv}", _deq_fn)(self.variables, sym, mu)
+
+            def _finish_fn(v, ms, yh, _i=i):
+                return self.module.apply(
+                    v, _i, ms, yh, method=ChannelARModule.decode_slice_finish
+                )
+
+            y_hat_slices.append(
+                self._jit(f"dec_finish_{i}", _finish_fn)(
+                    self.variables, mean_support, y_hat_raw
+                )
+            )
+            syms.append(sym)
+            idxs.append(indexes)
+
+        pack = self._jit(
+            "pack",
+            lambda v, s, ii, zz: self.module.apply(
+                v, list(s), list(ii), zz, method=ChannelARModule.pack_for_host
+            ),
+        )
+        packed = np.asarray(pack(self.variables, tuple(syms), tuple(idxs), z))
+        n = y_shape[0] * y_shape[1] * self.module.M
+        symbols = packed[0, :n].astype(np.int32)
+        indexes = packed[0, n : 2 * n].astype(np.int32)
+        zh, zw = x.shape[1] // 64, x.shape[2] // 64
+        zc = getattr(self.module, "hyper_ch", None) or self.module.N
+        z_np = (
+            np.ascontiguousarray(packed[:, 2 * n :])
+            .reshape(b, zh, zw, zc, 2)
+            .view(np.float32)[..., 0]
+        )
+        z_strings = fz.compress(z_np, self._eb_medians(), self.eb_tables)
+
         from ...coding.rans import encode_with_indexes
 
         t = self.stanh_tables[lv]
         y_string = encode_with_indexes(
             symbols, indexes, t.quantized_cdf, t.cdf_length, t.offset
         )
-        return {"strings": [[y_string], z_strings], "shape": (z.shape[1], z.shape[2]),
-                "lv": lv}
+        return {"strings": [[y_string], z_strings], "shape": (zh, zw), "lv": lv}
 
     def decompress(self, strings, shape, lv: int = 0) -> dict:
         from ...coding.rans import RansDecoder

@@ -29,34 +29,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, bias_ref, wproj_ref, bproj_ref,
             mask_ref, out_ref, *, heads: int, p2: int, use_mask: bool):
+    """Per-head attention with only leading-dim reshapes (Mosaic cannot
+    shape-cast into sub-lane trailing dims like [..., heads, hd])."""
     t, _, c = x_ref.shape
     hd = c // heads
     scale = hd ** -0.5
 
     x = x_ref[:].astype(jnp.float32)  # [T, p2, C]
 
-    flat = x.reshape(t * p2, c)
+    flat = x.reshape(t * p2, c)  # merge leading dims only
     qkv = jnp.dot(flat, wqkv_ref[:], preferred_element_type=jnp.float32)
-    qkv = qkv + bqkv_ref[:]
-    qkv = qkv.reshape(t, p2, 3, heads, hd)
-    q = qkv[:, :, 0].transpose(0, 2, 1, 3).reshape(t * heads, p2, hd)
-    k = qkv[:, :, 1].transpose(0, 2, 1, 3).reshape(t * heads, p2, hd)
-    v = qkv[:, :, 2].transpose(0, 2, 1, 3).reshape(t * heads, p2, hd)
+    qkv = (qkv + bqkv_ref[:]).reshape(t, p2, 3 * c)  # split leading dims only
 
-    scores = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale
-    scores = scores.reshape(t, heads, p2, p2) + bias_ref[:][None]
-    if use_mask:
-        scores = scores + mask_ref[:][:, None]  # [T, 1, p2, p2]
-    scores = scores.reshape(t * heads, p2, p2)
+    mask = mask_ref[:] if use_mask else None
+    ctx_heads = []
+    for h in range(heads):  # static unroll; heads <= 16
+        q = jax.lax.slice_in_dim(qkv, h * hd, (h + 1) * hd, axis=2)
+        k = jax.lax.slice_in_dim(qkv, c + h * hd, c + (h + 1) * hd, axis=2)
+        v = jax.lax.slice_in_dim(qkv, 2 * c + h * hd, 2 * c + (h + 1) * hd, axis=2)
+        scores = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale  # [T, p2, p2]
+        scores = scores + bias_ref[h][None]
+        if mask is not None:
+            scores = scores + mask
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx_heads.append(
+            jax.lax.dot_general(
+                probs, v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )  # [T, p2, hd]
 
-    probs = jax.nn.softmax(scores, axis=-1)
-    ctx = jax.lax.dot_general(
-        probs, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
-    ctx = ctx.reshape(t, heads, p2, hd).transpose(0, 2, 1, 3).reshape(t * p2, c)
-
+    ctx = jnp.concatenate(ctx_heads, axis=-1).reshape(t * p2, c)
     out = jnp.dot(ctx, wproj_ref[:], preferred_element_type=jnp.float32)
     out = out + bproj_ref[:]
     out_ref[:] = out.reshape(t, p2, c).astype(out_ref.dtype)

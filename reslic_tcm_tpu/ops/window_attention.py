@@ -144,9 +144,7 @@ class WMSA(nn.Module):
         windows = window_partition(x, w)  # [b, nW, p2, c]
         bias = self._rel_bias()
 
-        # Mosaic can't shape-cast head_dim < 16 (sub-lane trailing dims);
-        # those stages use the composed XLA path.
-        if fused_attention_enabled() and self.head_dim >= 16:
+        if fused_attention_enabled():
             from .pallas_attn import fused_qkv_attention
 
             mask = None
