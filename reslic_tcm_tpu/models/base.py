@@ -497,3 +497,198 @@ class ChannelARCodec:
         return self.module.apply(
             self.variables, method=lambda m: m.aux_loss()
         )
+
+    # --------------------- device-coder profile (TPU) ---------------------
+    # Entropy coding runs ON the device (interleaved rANS, coding/device_rans)
+    # so the channel-AR decode chains as device programs with no per-slice
+    # host round trips. Stream format is NOT CompressAI-compatible — use
+    # compress()/decompress() for interchange with the reference.
+
+    def _device_tables(self, lv: int = 0):
+        t = self.gaussian_conditional.tables
+        e = self.eb_tables
+        return (
+            (jnp.asarray(t.quantized_cdf), jnp.asarray(t.cdf_length),
+             jnp.asarray(t.offset)),
+            (jnp.asarray(e.quantized_cdf), jnp.asarray(e.cdf_length),
+             jnp.asarray(e.offset)),
+        )
+
+    def compress_device(self, x, lv: int = 0, k: int = 256,
+                        cap: int | None = None) -> dict:
+        """Fully device-side encode (batch 1). Returns numpy word streams."""
+        from ..coding import device_rans as dr
+
+        assert self.eb_tables is not None, "call update() first"
+        assert x.shape[0] == 1
+        scale_table = jnp.asarray(self.gaussian_conditional.scale_table)
+        y_shape = (x.shape[1] // 16, x.shape[2] // 16)
+        b = 1
+        n_slice = y_shape[0] * y_shape[1] * (self.module.M // self.module.num_slices)
+        assert n_slice % k == 0, (n_slice, k)
+        (yt, et) = self._device_tables(lv)
+
+        analysis = self._jit(
+            f"analysis_{lv}",
+            lambda v, xx, _lv=lv: self.module.apply(
+                v, xx, _lv, method=ChannelARModule.analysis
+            ),
+        )
+        y, z, z_hat = analysis(self.variables, x)
+
+        def _hyper(v, zz, _lv=lv):
+            return self.module.apply(v, zz, _lv, method=ChannelARModule.hyper_synthesis)
+
+        latent_means, latent_scales = self._jit(f"hyper_{lv}", _hyper)(
+            self.variables, z_hat
+        )
+
+        syms, idxs = [], []
+        y_hat_slices = []
+        for i in range(self.module.num_slices):
+            step = self._jit(
+                f"dec_params_{i}_{y_shape}_{b}", self._make_params_fn(i, y_shape)
+            )
+            mu, indexes, mean_support = step(
+                self.variables, latent_means, latent_scales, scale_table,
+                *y_hat_slices,
+            )
+            quant = self._jit(
+                f"quant_{i}",
+                lambda v, yy, m, _i=i: self.module.apply(
+                    v, _i, yy, m, method=ChannelARModule.quantize_slice
+                ),
+            )
+            sym = quant(self.variables, y, mu)
+            finish = self._jit(f"dec_finish_{i}_{b}", self._make_finish_fn(i))
+            y_hat_slices.append(finish(self.variables, mean_support, sym, mu))
+            syms.append(sym.reshape(-1).astype(jnp.int32))
+            idxs.append(indexes.reshape(-1).astype(jnp.int32))
+
+        n_total = self.module.num_slices * n_slice
+        if cap is None:
+            cap = max(64, n_total // k)  # ~16 bits/symbol budget
+
+        enc_y = self._jit(
+            f"dev_enc_y_{k}_{cap}",
+            lambda s, ii: dr.encode_interleaved(s, ii, *yt, k=k, cap=cap),
+        )
+        y_words, y_counts, y_ovf = enc_y(
+            jnp.concatenate(syms), jnp.concatenate(idxs)
+        )
+
+        # z stream: symbols = round(z - medians), per-channel CDF rows
+        zc = z.shape[-1]
+        med = jnp.asarray(self._eb_medians())
+        z_idx = jnp.broadcast_to(
+            jnp.arange(zc, dtype=jnp.int32), z.shape
+        ).reshape(-1)
+        z_cap = max(64, z_idx.shape[0] // max(k // 4, 1))
+        kz = math_gcd_pow2(z_idx.shape[0], k)
+        enc_z = self._jit(
+            f"dev_enc_z_{kz}_{z_cap}",
+            lambda zz, ii: dr.encode_interleaved(
+                jnp.round(zz.reshape(-1) - jnp.tile(med, zz.shape[1] * zz.shape[2])
+                          ).astype(jnp.int32),
+                ii, *et, k=kz, cap=z_cap,
+            ),
+        )
+        z_words, z_counts, z_ovf = enc_z(z, z_idx)
+
+        if bool(y_ovf) or bool(z_ovf):
+            raise RuntimeError(
+                "device-coder cap overflow; raise `cap` (symbol entropy higher"
+                " than the 16 bits/symbol budget)"
+            )
+        return {
+            "device_streams": {
+                "y": (np.asarray(y_words), np.asarray(y_counts)),
+                "z": (np.asarray(z_words), np.asarray(z_counts)),
+            },
+            "shape": (int(z.shape[1]), int(z.shape[2])),
+            "k": k,
+            "nbytes": int(np.asarray(y_counts).sum() + np.asarray(z_counts).sum()) * 2,
+        }
+
+    def decompress_device(self, enc: dict, lv: int = 0) -> dict:
+        """Fully device-side decode: the only host->device transfer is the
+        compressed words; the slice loop chains decoder state on device."""
+        from ..coding import device_rans as dr
+
+        (yt, et) = self._device_tables(lv)
+        k = enc["k"]
+        zh, zw = enc["shape"]
+        y_shape = (zh * 4, zw * 4)
+        b = 1
+        scale_table = jnp.asarray(self.gaussian_conditional.scale_table)
+
+        # --- z ---
+        z_words = jnp.asarray(enc["device_streams"]["z"][0])
+        z_counts = jnp.asarray(enc["device_streams"]["z"][1])
+        zc = et[0].shape[0]
+        med = jnp.asarray(self._eb_medians())
+        n_z = zh * zw * zc
+        kz = z_words.shape[0]
+
+        def _zdec(w, c):
+            idx = jnp.broadcast_to(
+                jnp.arange(zc, dtype=jnp.int32), (1, zh, zw, zc)
+            ).reshape(-1)
+            syms = dr.decode_interleaved(w, c, idx, *et, n=n_z, k=kz)
+            zf = syms.astype(jnp.float32).reshape(1, zh, zw, zc)
+            return zf + med[None, None, None, :]
+
+        z_hat = self._jit(f"dev_dec_z_{kz}_{n_z}", _zdec)(z_words, z_counts)
+
+        def _hyper(v, zz, _lv=lv):
+            return self.module.apply(v, zz, _lv, method=ChannelARModule.hyper_synthesis)
+
+        latent_means, latent_scales = self._jit(f"hyper_{lv}", _hyper)(
+            self.variables, z_hat
+        )
+
+        # --- y: chained per-slice decode, all on device ---
+        y_words = jnp.asarray(enc["device_streams"]["y"][0])
+        y_counts = jnp.asarray(enc["device_streams"]["y"][1])
+        carry = self._jit(
+            "dev_dec_init", lambda w, c: dr.decoder_init(w, c)
+        )(y_words, y_counts)
+
+        y_hat_slices = []
+        for i in range(self.module.num_slices):
+            step = self._jit(
+                f"dec_params_{i}_{y_shape}_{b}", self._make_params_fn(i, y_shape)
+            )
+            mu, indexes, mean_support = step(
+                self.variables, latent_means, latent_scales, scale_table,
+                *y_hat_slices,
+            )
+
+            def _seg(w, cry, idx, shp=mu.shape):
+                cry, syms = dr.decode_segment(
+                    cry, w, idx.reshape(-1).astype(jnp.int32), *yt, k=k
+                )
+                return cry, syms.reshape(shp).astype(jnp.int16)
+
+            carry, sym = self._jit(f"dev_dec_seg_{y_shape}_{k}", _seg)(
+                y_words, carry, indexes
+            )
+            # dequant+LRP through the SAME executable the encoder used —
+            # y_hat feeds the next slice's sigma, so it must be bit-identical
+            finish = self._jit(f"dec_finish_{i}_{b}", self._make_finish_fn(i))
+            y_hat_slices.append(finish(self.variables, mean_support, sym, mu))
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+
+        def _synth(v, yy, _lv=lv):
+            return self.module.apply(v, yy, _lv, method=ChannelARModule.synthesize)
+
+        return {"x_hat": self._jit(f"synth_{lv}", _synth)(self.variables, y_hat)}
+
+
+def math_gcd_pow2(n: int, k: int) -> int:
+    """Largest power-of-two lane count <= k that divides n."""
+    kk = k
+    while kk > 1 and n % kk != 0:
+        kk //= 2
+    return max(kk, 1)
