@@ -31,6 +31,8 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=2)
     p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     p.add_argument("--fused-attn", action="store_true")
+    p.add_argument("--device-coder", action="store_true",
+                   help="measure the on-device interleaved-rANS profile")
     args = p.parse_args(argv)
 
     import jax
@@ -51,7 +53,7 @@ def main(argv=None):
     print(f"# device: {dev}", file=sys.stderr)
 
     t0 = time.time()
-    codec = make_tcm(N=args.N, M=args.M)
+    codec = make_tcm(N=args.N, M=args.M, fast_init=True)
     print(f"# init {time.time()-t0:.0f}s", file=sys.stderr)
     # XLA's composed window attention is faster than the current Pallas
     # kernel on this Mosaic version (see docs/PERFORMANCE.md); keep the
@@ -106,6 +108,22 @@ def main(argv=None):
         best = min(best, t2 - t0)
         enc_best = min(enc_best, t1 - t0)
         dec_best = min(dec_best, t2 - t1)
+
+    if args.device_coder:
+        x1 = x[:1]
+        enc = codec.compress_device(x1, k=256)
+        dec = codec.decompress_device(enc)
+        jax.block_until_ready(dec["x_hat"])
+        dbest = float("inf")
+        for _ in range(max(args.iters, 3)):
+            t0 = time.perf_counter()
+            enc = codec.compress_device(x1, k=256)
+            dec = codec.decompress_device(enc)
+            jax.block_until_ready(dec["x_hat"])
+            dbest = min(dbest, time.perf_counter() - t0)
+        dmps = (args.height * args.width / 1e6) / dbest
+        print(f"# device-coder profile: {dbest*1000:.0f}ms/img -> {dmps:.2f} MP/s "
+              f"({enc['nbytes']} bytes)", file=sys.stderr)
 
     mp = args.batch * args.height * args.width / 1e6
     mps = mp / best

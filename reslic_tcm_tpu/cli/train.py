@@ -66,6 +66,7 @@ def main(argv=None):
     codec, gcfg, ann_g, fcfg, ann_f = get_model(args, input_shape=patch)
     module = codec.module
 
+    restored = None
     if args.checkpoint != "none":
         print("Loading", args.checkpoint)
         restored = load_checkpoint(args.checkpoint)
@@ -77,6 +78,18 @@ def main(argv=None):
     )
     state = create_train_state(codec.params, main_tx, aux_tx)
     scheduler = ReduceLROnPlateau(args.learning_rate, "min", factor=0.5, patience=4)
+    first_epoch = 0
+    if restored is not None and args.continue_train:
+        # resume optimizer/scheduler state (the reference leaves this
+        # commented out, train.py:192-196; here it works)
+        from ..utils.checkpoint import restore_tree
+
+        state = restore_tree(state, restored["state"])
+        extra = restored.get("extra") or {}
+        if "scheduler" in extra:
+            scheduler.load_state_dict(dict(extra["scheduler"]))
+        first_epoch = int(extra.get("epoch", -1)) + 1
+        print(f"resuming from epoch {first_epoch}, lr={scheduler.lr}")
 
     lambda_list = list(args.lambda_list)
     is_stanh = "stanh" in args.model
@@ -159,7 +172,7 @@ def main(argv=None):
     if n_dev > 1:
         state = replicate(mesh, state)
 
-    for epoch in range(args.epochs):
+    for epoch in range(first_epoch, args.epochs):
         start = time.time()
         print(f"Learning rate: {scheduler.lr}")
         meters = {k: AverageMeter() for k in ("loss", "bpp_loss", "mse_loss")}

@@ -232,6 +232,7 @@ def make_tcm(
     num_slices: int = 5,
     hyper_ch: int = 192,
     atten_inter_dim: int = 128,
+    fast_init: bool = False,
 ) -> ChannelARCodec:
     """Build + init a TCM codec (weights random; use the checkpoint
     converter for pretrained PyTorch weights)."""
@@ -249,6 +250,11 @@ def make_tcm(
     p_rng, n_rng = jax.random.split(rng)
     # param shapes are spatial-size independent: init at the 128px minimum
     x = jnp.zeros((1, 128, 128, 3), jnp.float32)
-    from ..utils.device import init_on_cpu
-    variables = init_on_cpu(module, {"params": p_rng, "noise": n_rng}, x, training=True)
+    from ..utils.device import fast_init as _fast, init_on_cpu
+
+    rngs = {"params": p_rng, "noise": n_rng}
+    if fast_init:
+        variables = _fast(module, rngs, x, training=True)
+    else:
+        variables = init_on_cpu(module, rngs, x, training=True)
     return ChannelARCodec(module, variables)

@@ -26,6 +26,27 @@ def save_checkpoint(path: str, state: Any, extra: dict | None = None):
     ckptr.save(path, payload, force=True)
 
 
+def restore_tree(template: Any, data: Any):
+    """Rebuild `template`'s pytree (incl. optax NamedTuple states) from an
+    orbax-restored nested dict/list structure; leaf dtypes follow the
+    template."""
+    import jax.numpy as jnp
+
+    if template is None:
+        return None
+    if isinstance(template, tuple) and hasattr(template, "_fields"):
+        return type(template)(
+            *(restore_tree(getattr(template, f), data[f]) for f in template._fields)
+        )
+    if isinstance(template, dict):
+        return {k: restore_tree(v, data[k]) for k, v in template.items()}
+    if isinstance(template, (tuple, list)):
+        return type(template)(
+            restore_tree(v, data[i]) for i, v in enumerate(template)
+        )
+    return jnp.asarray(data, getattr(template, "dtype", None))
+
+
 def load_checkpoint(path: str, template: Any = None):
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
