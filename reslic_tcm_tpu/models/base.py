@@ -569,13 +569,19 @@ class ChannelARCodec:
         if cap is None:
             cap = max(64, n_total // k)  # ~16 bits/symbol budget
 
-        enc_y = self._jit(
-            f"dev_enc_y_{k}_{cap}",
-            lambda s, ii: dr.encode_interleaved(s, ii, *yt, k=k, cap=cap),
-        )
-        y_words, y_counts, y_ovf = enc_y(
-            jnp.concatenate(syms), jnp.concatenate(idxs)
-        )
+        sym_cat = jnp.concatenate(syms)
+        idx_cat = jnp.concatenate(idxs)
+        for attempt in range(4):
+            enc_y = self._jit(
+                f"dev_enc_y_{k}_{cap}",
+                lambda s, ii, _cap=cap: dr.encode_interleaved(
+                    s, ii, *yt, k=k, cap=_cap
+                ),
+            )
+            y_words, y_counts, y_ovf = enc_y(sym_cat, idx_cat)
+            if not bool(y_ovf):
+                break
+            cap *= 2  # retry with a bigger per-lane budget (recompiles once)
 
         # z stream: symbols = round(z - medians), per-channel CDF rows
         zc = z.shape[-1]
