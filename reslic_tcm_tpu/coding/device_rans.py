@@ -41,6 +41,28 @@ class DeviceStream(NamedTuple):
     n_symbols: int
 
 
+def build_inverse_table(cdf: np.ndarray, cdf_length: np.ndarray) -> np.ndarray:
+    """Direct cf -> symbol lookup, uint16 [R, 2^16].
+
+    Turns the decoder's per-symbol binary search (log2(L) gathers) into ONE
+    gather. 8 MB for 64 rows — the standard table-ANS trade."""
+    r = cdf.shape[0]
+    inv = np.zeros((r, 1 << PROB_BITS), np.uint16)
+    cfs = np.arange(1 << PROB_BITS, dtype=np.int64)
+    for i in range(r):
+        row = cdf[i, : int(cdf_length[i])].astype(np.int64)
+        inv[i] = np.searchsorted(row, cfs, side="right") - 1
+    return inv
+
+
+def build_packed_table(cdf: np.ndarray, cdf_length: np.ndarray) -> np.ndarray:
+    """(start << 16 | freq) uint32 [R, L]: one gather per encoded symbol."""
+    cdf = cdf.astype(np.uint32)
+    packed = np.zeros_like(cdf)
+    packed[:, :-1] = (cdf[:, :-1] << 16) | (cdf[:, 1:] - cdf[:, :-1])
+    return packed
+
+
 # --------------------------- numpy reference ---------------------------
 
 
@@ -172,7 +194,7 @@ def _jax():
 
 
 def encode_interleaved(symbols, indexes, cdf, cdf_length, offset,
-                       k: int = 256, cap: int | None = None):
+                       k: int = 256, cap: int | None = None, packed=None):
     """Device-side encode. symbols/indexes int32 [n]; tables device arrays.
 
     Returns (words uint16 [k, cap], counts int32 [k], overflow bool). cap
@@ -230,8 +252,12 @@ def encode_interleaved(symbols, indexes, cdf, cdf_length, offset,
         x, buf, ptr = put_bits16(x, buf, ptr, raw & MASK16, esc)
         x, buf, ptr = put_bits16(x, buf, ptr, (raw >> 16) & MASK16, esc)
         val_u = jnp.where(esc, max_value, val.astype(jnp.uint32))
-        start = cdf[idx, val_u]
-        freq = cdf[idx, val_u + 1] - start
+        if packed is not None:
+            sf = packed[idx, val_u]
+            start, freq = sf >> 16, sf & MASK16
+        else:
+            start = cdf[idx, val_u]
+            freq = cdf[idx, val_u + 1] - start
         x, buf, ptr = put(x, buf, ptr, start, freq)
         return (x, buf, ptr), None
 
@@ -278,7 +304,8 @@ def decoder_init(words, counts):
     return (x, rp)
 
 
-def decode_segment(carry, words, indexes, cdf, cdf_length, offset, k: int):
+def decode_segment(carry, words, indexes, cdf, cdf_length, offset, k: int,
+                   inverse=None):
     """Decode len(indexes) symbols (must be a multiple of k), carrying the
     per-lane decoder state — the channel-AR slice loop chains segments
     without leaving the device."""
@@ -326,7 +353,10 @@ def decode_segment(carry, words, indexes, cdf, cdf_length, offset, k: int):
     def step_fn(carry, idx):
         x, rp = carry
         cf = x & MASK16
-        s = find_bin(idx, cf)
+        if inverse is not None:
+            s = inverse[idx, cf].astype(jnp.int32)
+        else:
+            s = find_bin(idx, cf)
         start = cdf_u[idx, s]
         freq = cdf_u[idx, s + 1] - start
         x = freq * (x >> 16) + cf - start
@@ -347,7 +377,7 @@ def decode_segment(carry, words, indexes, cdf, cdf_length, offset, k: int):
 
 
 def decode_interleaved(words, counts, indexes, cdf, cdf_length, offset,
-                       n: int, k: int = 256):
+                       n: int, k: int = 256, inverse=None):
     """Device-side decode of a full stream. Returns int32 [n]."""
     _, jnp = _jax()
 
@@ -356,5 +386,6 @@ def decode_interleaved(words, counts, indexes, cdf, cdf_length, offset,
     if pad:
         indexes = jnp.concatenate([indexes, jnp.zeros(pad, jnp.int32)])
     carry = decoder_init(words, counts)
-    _, syms = decode_segment(carry, words, indexes, cdf, cdf_length, offset, k)
+    _, syms = decode_segment(carry, words, indexes, cdf, cdf_length, offset, k,
+                             inverse=inverse)
     return syms[:n]

@@ -505,16 +505,27 @@ class ChannelARCodec:
     # compress()/decompress() for interchange with the reference.
 
     def _device_tables(self, lv: int = 0):
-        t = self.gaussian_conditional.tables
-        e = self.eb_tables
-        return (
-            (jnp.asarray(t.quantized_cdf), jnp.asarray(t.cdf_length),
-             jnp.asarray(t.offset)),
-            (jnp.asarray(e.quantized_cdf), jnp.asarray(e.cdf_length),
-             jnp.asarray(e.offset)),
-        )
+        """Device-resident coding tables incl. the direct-lookup inverse and
+        packed start|freq tables (cached)."""
+        from ..coding import device_rans as dr
 
-    def compress_device(self, x, lv: int = 0, k: int = 256,
+        key = ("dev_tables", lv)
+        if key not in self._jit_cache:
+            t = self.gaussian_conditional.tables
+            e = self.eb_tables
+            self._jit_cache[key] = (
+                (jnp.asarray(t.quantized_cdf), jnp.asarray(t.cdf_length),
+                 jnp.asarray(t.offset),
+                 jnp.asarray(dr.build_inverse_table(t.quantized_cdf, t.cdf_length)),
+                 jnp.asarray(dr.build_packed_table(t.quantized_cdf, t.cdf_length))),
+                (jnp.asarray(e.quantized_cdf), jnp.asarray(e.cdf_length),
+                 jnp.asarray(e.offset),
+                 jnp.asarray(dr.build_inverse_table(e.quantized_cdf, e.cdf_length)),
+                 jnp.asarray(dr.build_packed_table(e.quantized_cdf, e.cdf_length))),
+            )
+        return self._jit_cache[key]
+
+    def compress_device(self, x, lv: int = 0, k: int = 1024,
                         cap: int | None = None) -> dict:
         """Fully device-side encode (batch 1). Returns numpy word streams."""
         from ..coding import device_rans as dr
@@ -526,7 +537,9 @@ class ChannelARCodec:
         b = 1
         n_slice = y_shape[0] * y_shape[1] * (self.module.M // self.module.num_slices)
         assert n_slice % k == 0, (n_slice, k)
-        (yt, et) = self._device_tables(lv)
+        (yt_all, et_all) = self._device_tables(lv)
+        yt, y_inv, y_packed = yt_all[:3], yt_all[3], yt_all[4]
+        et, e_inv, e_packed = et_all[:3], et_all[3], et_all[4]
 
         analysis = self._jit(
             f"analysis_{lv}",
@@ -575,7 +588,7 @@ class ChannelARCodec:
             enc_y = self._jit(
                 f"dev_enc_y_{k}_{cap}",
                 lambda s, ii, _cap=cap: dr.encode_interleaved(
-                    s, ii, *yt, k=k, cap=_cap
+                    s, ii, *yt, k=k, cap=_cap, packed=y_packed
                 ),
             )
             y_words, y_counts, y_ovf = enc_y(sym_cat, idx_cat)
@@ -596,7 +609,7 @@ class ChannelARCodec:
             lambda zz, ii: dr.encode_interleaved(
                 jnp.round(zz.reshape(-1) - jnp.tile(med, zz.shape[1] * zz.shape[2])
                           ).astype(jnp.int32),
-                ii, *et, k=kz, cap=z_cap,
+                ii, *et, k=kz, cap=z_cap, packed=e_packed,
             ),
         )
         z_words, z_counts, z_ovf = enc_z(z, z_idx)
@@ -621,7 +634,9 @@ class ChannelARCodec:
         compressed words; the slice loop chains decoder state on device."""
         from ..coding import device_rans as dr
 
-        (yt, et) = self._device_tables(lv)
+        (yt_all, et_all) = self._device_tables(lv)
+        yt, y_inv = yt_all[:3], yt_all[3]
+        et, e_inv = et_all[:3], et_all[3]
         k = enc["k"]
         zh, zw = enc["shape"]
         y_shape = (zh * 4, zw * 4)
@@ -640,7 +655,8 @@ class ChannelARCodec:
             idx = jnp.broadcast_to(
                 jnp.arange(zc, dtype=jnp.int32), (1, zh, zw, zc)
             ).reshape(-1)
-            syms = dr.decode_interleaved(w, c, idx, *et, n=n_z, k=kz)
+            syms = dr.decode_interleaved(w, c, idx, *et, n=n_z, k=kz,
+                                         inverse=e_inv)
             zf = syms.astype(jnp.float32).reshape(1, zh, zw, zc)
             return zf + med[None, None, None, :]
 
@@ -672,7 +688,8 @@ class ChannelARCodec:
 
             def _seg(w, cry, idx, shp=mu.shape):
                 cry, syms = dr.decode_segment(
-                    cry, w, idx.reshape(-1).astype(jnp.int32), *yt, k=k
+                    cry, w, idx.reshape(-1).astype(jnp.int32), *yt, k=k,
+                    inverse=y_inv,
                 )
                 return cry, syms.reshape(shp).astype(jnp.int16)
 
