@@ -31,6 +31,8 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=2)
     p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     p.add_argument("--fused-attn", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 transform compute (fp32 params)")
     p.add_argument("--device-coder", action="store_true",
                    help="measure the on-device interleaved-rANS profile")
     args = p.parse_args(argv)
@@ -53,7 +55,8 @@ def main(argv=None):
     print(f"# device: {dev}", file=sys.stderr)
 
     t0 = time.time()
-    codec = make_tcm(N=args.N, M=args.M, fast_init=True)
+    codec = make_tcm(N=args.N, M=args.M, fast_init=True,
+                     dtype=jnp.bfloat16 if args.bf16 else None)
     print(f"# init {time.time()-t0:.0f}s", file=sys.stderr)
     # XLA's composed window attention is faster than the current Pallas
     # kernel on this Mosaic version (see docs/PERFORMANCE.md); keep the

@@ -527,16 +527,17 @@ class ChannelARCodec:
 
     def compress_device(self, x, lv: int = 0, k: int = 1024,
                         cap: int | None = None) -> dict:
-        """Fully device-side encode (batch 1). Returns numpy word streams."""
+        """Fully device-side encode. Batched inputs produce ONE batch
+        container stream (images decode together); use the host profile for
+        per-image bitstreams. Returns numpy word streams."""
         from ..coding import device_rans as dr
 
         assert self.eb_tables is not None, "call update() first"
-        assert x.shape[0] == 1
         scale_table = jnp.asarray(self.gaussian_conditional.scale_table)
         y_shape = (x.shape[1] // 16, x.shape[2] // 16)
-        b = 1
+        b = x.shape[0]
         n_slice = y_shape[0] * y_shape[1] * (self.module.M // self.module.num_slices)
-        assert n_slice % k == 0, (n_slice, k)
+        assert (b * n_slice) % k == 0, (b, n_slice, k)
         (yt_all, et_all) = self._device_tables(lv)
         yt, y_inv, y_packed = yt_all[:3], yt_all[3], yt_all[4]
         et, e_inv, e_packed = et_all[:3], et_all[3], et_all[4]
@@ -578,7 +579,7 @@ class ChannelARCodec:
             syms.append(sym.reshape(-1).astype(jnp.int32))
             idxs.append(indexes.reshape(-1).astype(jnp.int32))
 
-        n_total = self.module.num_slices * n_slice
+        n_total = b * self.module.num_slices * n_slice
         if cap is None:
             cap = max(64, n_total // k)  # ~16 bits/symbol budget
 
@@ -605,10 +606,12 @@ class ChannelARCodec:
         z_cap = max(64, z_idx.shape[0] // max(k // 4, 1))
         kz = math_gcd_pow2(z_idx.shape[0], k)
         enc_z = self._jit(
-            f"dev_enc_z_{kz}_{z_cap}",
+            f"dev_enc_z_{kz}_{z_cap}_{b}",
             lambda zz, ii: dr.encode_interleaved(
-                jnp.round(zz.reshape(-1) - jnp.tile(med, zz.shape[1] * zz.shape[2])
-                          ).astype(jnp.int32),
+                jnp.round(
+                    zz.reshape(-1)
+                    - jnp.tile(med, zz.shape[0] * zz.shape[1] * zz.shape[2])
+                ).astype(jnp.int32),
                 ii, *et, k=kz, cap=z_cap, packed=e_packed,
             ),
         )
@@ -626,6 +629,7 @@ class ChannelARCodec:
             },
             "shape": (int(z.shape[1]), int(z.shape[2])),
             "k": k,
+            "batch": b,
             "nbytes": int(np.asarray(y_counts).sum() + np.asarray(z_counts).sum()) * 2,
         }
 
@@ -640,7 +644,7 @@ class ChannelARCodec:
         k = enc["k"]
         zh, zw = enc["shape"]
         y_shape = (zh * 4, zw * 4)
-        b = 1
+        b = enc.get("batch", 1)
         scale_table = jnp.asarray(self.gaussian_conditional.scale_table)
 
         # --- z ---
@@ -648,16 +652,16 @@ class ChannelARCodec:
         z_counts = jnp.asarray(enc["device_streams"]["z"][1])
         zc = et[0].shape[0]
         med = jnp.asarray(self._eb_medians())
-        n_z = zh * zw * zc
+        n_z = b * zh * zw * zc
         kz = z_words.shape[0]
 
         def _zdec(w, c):
             idx = jnp.broadcast_to(
-                jnp.arange(zc, dtype=jnp.int32), (1, zh, zw, zc)
+                jnp.arange(zc, dtype=jnp.int32), (b, zh, zw, zc)
             ).reshape(-1)
             syms = dr.decode_interleaved(w, c, idx, *et, n=n_z, k=kz,
                                          inverse=e_inv)
-            zf = syms.astype(jnp.float32).reshape(1, zh, zw, zc)
+            zf = syms.astype(jnp.float32).reshape(b, zh, zw, zc)
             return zf + med[None, None, None, :]
 
         z_hat = self._jit(f"dev_dec_z_{kz}_{n_z}", _zdec)(z_words, z_counts)
@@ -686,12 +690,12 @@ class ChannelARCodec:
                 *y_hat_slices,
             )
 
-            def _seg(w, cry, idx, shp=mu.shape):
+            def _seg(w, cry, idx):
                 cry, syms = dr.decode_segment(
                     cry, w, idx.reshape(-1).astype(jnp.int32), *yt, k=k,
                     inverse=y_inv,
                 )
-                return cry, syms.reshape(shp).astype(jnp.int16)
+                return cry, syms.reshape(idx.shape).astype(jnp.int16)
 
             carry, sym = self._jit(f"dev_dec_seg_{y_shape}_{k}", _seg)(
                 y_words, carry, indexes

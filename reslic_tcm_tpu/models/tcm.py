@@ -233,6 +233,7 @@ def make_tcm(
     hyper_ch: int = 192,
     atten_inter_dim: int = 128,
     fast_init: bool = False,
+    dtype=None,
 ) -> ChannelARCodec:
     """Build + init a TCM codec (weights random; use the checkpoint
     converter for pretrained PyTorch weights)."""
@@ -245,6 +246,7 @@ def make_tcm(
         num_slices=num_slices,
         hyper_ch=hyper_ch,
         atten_inter_dim=atten_inter_dim,
+        dtype=dtype,
     )
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     p_rng, n_rng = jax.random.split(rng)

@@ -51,3 +51,12 @@ def test_device_codec_matches_eval_forward(tiny_codec):
     dec = tiny_codec.decompress_device(enc)
     want = np.clip(np.asarray(out["x_hat"]), 0, 1)
     np.testing.assert_allclose(np.asarray(dec["x_hat"]), want, atol=1e-5)
+
+
+def test_device_codec_batched(tiny_codec):
+    xb = jnp.concatenate([_image(5), _image(6), _image(7)], axis=0)
+    enc = tiny_codec.compress_device(xb, k=128)
+    dec = tiny_codec.decompress_device(enc)
+    out = tiny_codec.forward(xb, training=False)
+    want = np.clip(np.asarray(out["x_hat"]), 0, 1)
+    np.testing.assert_allclose(np.asarray(dec["x_hat"]), want, atol=1e-5)
