@@ -33,6 +33,10 @@ def parse_args(argv):
     # framework extras
     parser.add_argument("--N", type=int, default=128)
     parser.add_argument("--platform", type=str, default=None)
+    parser.add_argument("--tile", type=int, default=0,
+                        help="overlap-tiled inference for high-res inputs "
+                             "(e.g. 512; 0 = monolithic)")
+    parser.add_argument("--tile-overlap", type=int, default=64)
     args = parser.parse_args(argv)
     return args
 
@@ -113,15 +117,27 @@ def main(argv=None):
             MS_SSIM += msssim_v
         else:
             s = time.time()
-            out_net = net.forward(x_padded, training=False)
-            jax.block_until_ready(out_net["x_hat"])
-            e = time.time()
-            total_time += e - s
-            x_hat = crop_nhwc(jnp.clip(out_net["x_hat"], 0, 1), pad)
-            num_pixels = x_padded.shape[1] * x_padded.shape[2]
-            bpp = float(sum(
-                -jnp.log2(l).sum() for l in out_net["likelihoods"].values()
-            ) / num_pixels)
+            if args.tile and max(x_padded.shape[1], x_padded.shape[2]) > args.tile:
+                from ..parallel.spatial import tiled_forward
+
+                x_hat_full, bits = tiled_forward(
+                    net, x_padded, tile=args.tile, overlap=args.tile_overlap
+                )
+                jax.block_until_ready(x_hat_full)
+                e = time.time()
+                total_time += e - s
+                x_hat = crop_nhwc(x_hat_full, pad)
+                bpp = bits / (x_padded.shape[1] * x_padded.shape[2])
+            else:
+                out_net = net.forward(x_padded, training=False)
+                jax.block_until_ready(out_net["x_hat"])
+                e = time.time()
+                total_time += e - s
+                x_hat = crop_nhwc(jnp.clip(out_net["x_hat"], 0, 1), pad)
+                num_pixels = x_padded.shape[1] * x_padded.shape[2]
+                bpp = float(sum(
+                    -jnp.log2(l).sum() for l in out_net["likelihoods"].values()
+                ) / num_pixels)
             psnr_v = compute_psnr(x, x_hat)
             msssim_v = -10 * math.log10(1 - float(ms_ssim(x, x_hat)))
             print(f"PSNR: {psnr_v:.2f}dB")

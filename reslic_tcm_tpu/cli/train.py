@@ -202,11 +202,14 @@ def main(argv=None):
                     f"\tBpp loss: {float(metrics['bpp_loss']):.2f} |"
                 )
             if wandb_run:
-                wandb_run.log({
+                log = {
                     "train_batch": counter,
                     "train_batch/losses_batch": float(metrics["loss"]),
                     "train_batch/bpp_batch": float(metrics["bpp_loss"]),
-                })
+                }
+                if is_stanh and ann_g is not None:
+                    log["general_data/gaussian_beta"] = ann_g.beta
+                wandb_run.log(log)
 
         val_loss = _validate(jit_evals, state.params, valid_loader, lambda_list,
                              loss_type, epoch=epoch, wandb_run=wandb_run)
