@@ -72,9 +72,15 @@ def main(argv=None):
         restored = load_checkpoint(args.checkpoint)
         codec.variables = {"params": restored["state"]["params"]}
 
+    labels = None
+    if args.freeze and is_stanh_name(args.model):
+        from ..training.optimizer import freeze_all_but_stanh_labels
+
+        labels = freeze_all_but_stanh_labels(codec.params, g_s_tune=True)
+        print("freeze: training only stanh (+ g_s) parameters")
     main_tx, aux_tx = configure_optimizers(
         codec.params, args.learning_rate, float(args.aux_learning_rate),
-        args.clip_max_norm,
+        args.clip_max_norm, labels=labels,
     )
     state = create_train_state(codec.params, main_tx, aux_tx)
     scheduler = ReduceLROnPlateau(args.learning_rate, "min", factor=0.5, patience=4)
@@ -247,6 +253,10 @@ def main(argv=None):
         print("END OF EPOCH ", epoch)
 
     return 0
+
+
+def is_stanh_name(model_name: str) -> bool:
+    return "stanh" in model_name
 
 
 def _accepts(module, name: str) -> bool:

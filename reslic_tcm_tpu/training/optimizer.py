@@ -26,13 +26,35 @@ def param_labels(params) -> Any:
     )
 
 
+def freeze_all_but_stanh_labels(params, g_s_tune: bool = False):
+    """Label tree for the reference's unlock_only_stanh fine-tuning mode
+    (reference balle18_stanh.py:65-86): only stanh w/b (and optionally the
+    synthesis transform) stay trainable."""
+
+    def lab(path, _):
+        names = [getattr(k, "key", "") for k in path]
+        if _is_quantiles_path(path):
+            return "aux"
+        if "stanh" in names:
+            return "main"
+        if g_s_tune and names and names[0].startswith("g_s"):
+            return "main"
+        return "frozen"
+
+    return jax.tree_util.tree_map_with_path(lab, params)
+
+
 def configure_optimizers(params, learning_rate: float = 1e-4,
                          aux_learning_rate: float = 1e-3,
-                         clip_max_norm: float = 1.0):
+                         clip_max_norm: float = 1.0,
+                         labels=None):
     """Returns (main_tx, aux_tx): each updates only its parameter subset and
     zeroes the rest. Gradient clipping (global norm over the main subset,
-    reference training/step.py:90-92) is part of the main chain."""
-    labels = param_labels(params)
+    reference training/step.py:90-92) is part of the main chain. Pass a
+    custom `labels` tree (values in {main, aux, frozen}) for fine-tuning
+    modes like --freeze."""
+    if labels is None:
+        labels = param_labels(params)
 
     def main_chain(lr):
         parts = []
@@ -42,7 +64,8 @@ def configure_optimizers(params, learning_rate: float = 1e-4,
         return optax.chain(*parts)
 
     main_tx = optax.multi_transform(
-        {"main": main_chain(learning_rate), "aux": optax.set_to_zero()},
+        {"main": main_chain(learning_rate), "aux": optax.set_to_zero(),
+         "frozen": optax.set_to_zero()},
         param_labels=lambda _: labels,
     )
     aux_tx = optax.multi_transform(
@@ -51,6 +74,7 @@ def configure_optimizers(params, learning_rate: float = 1e-4,
                 learning_rate=aux_learning_rate
             ),
             "main": optax.set_to_zero(),
+            "frozen": optax.set_to_zero(),
         },
         param_labels=lambda _: labels,
     )
