@@ -33,7 +33,7 @@ def main(argv=None):
     from ..parallel.mesh import make_mesh, replicate, shard_batch
     from ..training.loss import rate_distortion_loss
     from ..training.optimizer import configure_optimizers, set_learning_rate
-    from ..training.step import create_train_state, make_eval_step, make_train_step, shard_train_step
+    from ..training.step import create_train_state, make_eval_step, make_train_step
     from ..utils.checkpoint import ReduceLROnPlateau, save_checkpoint, load_checkpoint
     from ..utils.helper import AverageMeter, create_savepath, sec_to_hours
     from ..utils.metrics import compute_msssim

@@ -8,7 +8,6 @@ gap_stoc, loss, AugmentBetaOnPlateau, constant, triangle, random}.
 
 from __future__ import annotations
 
-import math
 import random as _random
 
 

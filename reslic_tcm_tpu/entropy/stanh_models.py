@@ -19,7 +19,7 @@ round-trip equals the hard-quantized forward exactly.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -18,8 +18,7 @@ TPU-native split:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax
@@ -224,7 +223,9 @@ class ChannelARModule(nn.Module):
         idx_flat = (
             jnp.stack(idxs, 0).transpose(1, 0, 4, 2, 3).reshape(b, -1).astype(jnp.int16)
         )
-        z_flat = jax.lax.bitcast_convert_type(z, jnp.int16).reshape(b, -1)
+        z_flat = jax.lax.bitcast_convert_type(
+            z.astype(jnp.float32), jnp.int16
+        ).reshape(b, -1)
         return jnp.concatenate([sym_flat, idx_flat, z_flat], axis=-1)
 
     def decode_slice_params(self, i: int, latent_means, latent_scales,
@@ -609,7 +610,7 @@ class ChannelARCodec:
             f"dev_enc_z_{kz}_{z_cap}_{b}",
             lambda zz, ii: dr.encode_interleaved(
                 jnp.round(
-                    zz.reshape(-1)
+                    zz.astype(jnp.float32).reshape(-1)
                     - jnp.tile(med, zz.shape[0] * zz.shape[1] * zz.shape[2])
                 ).astype(jnp.int32),
                 ii, *et, k=kz, cap=z_cap, packed=e_packed,

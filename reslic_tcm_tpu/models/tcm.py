@@ -24,7 +24,6 @@ import jax.numpy as jnp
 from ..entropy.factorized import EntropyBottleneck
 from ..ops.layers import (
     Conv,
-    GDN,
     ResidualBlock,
     ResidualBlockUpsample,
     ResidualBlockWithStride,

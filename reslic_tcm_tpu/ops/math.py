@@ -12,7 +12,6 @@ control flow on traced values, so it fuses cleanly under XLA.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -19,13 +19,10 @@ to 128 on one device, reference eval.py:33-47):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 # --------------------------- halo exchange (ICI) ---------------------------

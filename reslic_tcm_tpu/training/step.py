@@ -9,7 +9,6 @@ the gradient all-reduce over ICI (no DataParallel scatter/gather).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
