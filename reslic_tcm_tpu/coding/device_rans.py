@@ -305,7 +305,7 @@ def decoder_init(words, counts):
 
 
 def decode_segment(carry, words, indexes, cdf, cdf_length, offset, k: int,
-                   inverse=None):
+                   inverse=None, packed=None):
     """Decode len(indexes) symbols (must be a multiple of k), carrying the
     per-lane decoder state — the channel-AR slice loop chains segments
     without leaving the device."""
@@ -357,8 +357,12 @@ def decode_segment(carry, words, indexes, cdf, cdf_length, offset, k: int,
             s = inverse[idx, cf].astype(jnp.int32)
         else:
             s = find_bin(idx, cf)
-        start = cdf_u[idx, s]
-        freq = cdf_u[idx, s + 1] - start
+        if packed is not None:
+            sf = packed[idx, s]
+            start, freq = sf >> 16, sf & MASK16
+        else:
+            start = cdf_u[idx, s]
+            freq = cdf_u[idx, s + 1] - start
         x = freq * (x >> 16) + cf - start
         need = x < RANS_L
         w, rp2 = read(rp)
@@ -377,7 +381,7 @@ def decode_segment(carry, words, indexes, cdf, cdf_length, offset, k: int,
 
 
 def decode_interleaved(words, counts, indexes, cdf, cdf_length, offset,
-                       n: int, k: int = 256, inverse=None):
+                       n: int, k: int = 256, inverse=None, packed=None):
     """Device-side decode of a full stream. Returns int32 [n]."""
     _, jnp = _jax()
 
@@ -387,5 +391,5 @@ def decode_interleaved(words, counts, indexes, cdf, cdf_length, offset,
         indexes = jnp.concatenate([indexes, jnp.zeros(pad, jnp.int32)])
     carry = decoder_init(words, counts)
     _, syms = decode_segment(carry, words, indexes, cdf, cdf_length, offset, k,
-                             inverse=inverse)
+                             inverse=inverse, packed=packed)
     return syms[:n]

@@ -640,8 +640,8 @@ class ChannelARCodec:
         from ..coding import device_rans as dr
 
         (yt_all, et_all) = self._device_tables(lv)
-        yt, y_inv = yt_all[:3], yt_all[3]
-        et, e_inv = et_all[:3], et_all[3]
+        yt, y_inv, y_packed = yt_all[:3], yt_all[3], yt_all[4]
+        et, e_inv, e_packed = et_all[:3], et_all[3], et_all[4]
         k = enc["k"]
         zh, zw = enc["shape"]
         y_shape = (zh * 4, zw * 4)
@@ -661,7 +661,7 @@ class ChannelARCodec:
                 jnp.arange(zc, dtype=jnp.int32), (b, zh, zw, zc)
             ).reshape(-1)
             syms = dr.decode_interleaved(w, c, idx, *et, n=n_z, k=kz,
-                                         inverse=e_inv)
+                                         inverse=e_inv, packed=e_packed)
             zf = syms.astype(jnp.float32).reshape(b, zh, zw, zc)
             return zf + med[None, None, None, :]
 
@@ -694,7 +694,7 @@ class ChannelARCodec:
             def _seg(w, cry, idx):
                 cry, syms = dr.decode_segment(
                     cry, w, idx.reshape(-1).astype(jnp.int32), *yt, k=k,
-                    inverse=y_inv,
+                    inverse=y_inv, packed=y_packed,
                 )
                 return cry, syms.reshape(idx.shape).astype(jnp.int16)
 
