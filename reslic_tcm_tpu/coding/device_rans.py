@@ -247,10 +247,20 @@ def encode_interleaved(symbols, indexes, cdf, cdf_length, offset,
         max_value = (cdf_length[idx] - 2).astype(jnp.uint32)
         val = (sym - offset[idx]).astype(jnp.int32)
         esc = (val < 0) | (val >= max_value.astype(jnp.int32))
-        raw = sym.astype(jnp.uint32)
-        # encode order (reverse of decode): lo, hi, bin
-        x, buf, ptr = put_bits16(x, buf, ptr, raw & MASK16, esc)
-        x, buf, ptr = put_bits16(x, buf, ptr, (raw >> 16) & MASK16, esc)
+
+        # escape work only when some lane in this step escapes (rare):
+        # skips two masked scatter+arithmetic passes on the fast path
+        def do_escape(args):
+            x, buf, ptr = args
+            raw = sym.astype(jnp.uint32)
+            # encode order (reverse of decode): lo, hi, bin
+            x, buf, ptr = put_bits16(x, buf, ptr, raw & MASK16, esc)
+            x, buf, ptr = put_bits16(x, buf, ptr, (raw >> 16) & MASK16, esc)
+            return x, buf, ptr
+
+        x, buf, ptr = jax.lax.cond(
+            jnp.any(esc), do_escape, lambda a: a, (x, buf, ptr)
+        )
         val_u = jnp.where(esc, max_value, val.astype(jnp.uint32))
         if packed is not None:
             sf = packed[idx, val_u]
@@ -370,9 +380,18 @@ def decode_segment(carry, words, indexes, cdf, cdf_length, offset, k: int,
         rp = jnp.where(need, rp2, rp)
 
         esc = s == (cdf_length[idx] - 2)
-        hi, x, rp = get_bits16(x, rp, esc)
-        lo, x, rp = get_bits16(x, rp, esc)
-        raw = ((hi << 16) | lo).astype(jnp.int32)
+
+        def do_escape(args):
+            x, rp = args
+            hi, x, rp = get_bits16(x, rp, esc)
+            lo, x, rp = get_bits16(x, rp, esc)
+            return x, rp, ((hi << 16) | lo).astype(jnp.int32)
+
+        def no_escape(args):
+            x, rp = args
+            return x, rp, jnp.zeros((k,), jnp.int32)
+
+        x, rp, raw = jax.lax.cond(jnp.any(esc), do_escape, no_escape, (x, rp))
         sym = jnp.where(esc, raw, s.astype(jnp.int32) + offset[idx])
         return (x, rp), sym
 
