@@ -269,12 +269,19 @@ def _validate(jit_evals, params, loader, lambda_list, loss_type, epoch=0,
               wandb_run=None, tag="valid"):
     import jax.numpy as jnp
 
+    from ..ops.math import compute_padding, pad_nhwc
     from ..utils.helper import AverageMeter
 
     total = 0.0
     for j, lmbda in enumerate(lambda_list):
         loss_m, bpp_m, psnr_m = AverageMeter(), AverageMeter(), AverageMeter()
         for batch in loader:
+            # full-resolution eval images must conform to the model's
+            # 128px windowing contract (reference pads at eval, eval.py:76)
+            h, w = batch.shape[1], batch.shape[2]
+            if h % 128 or w % 128:
+                pad, _ = compute_padding(h, w, 128)
+                batch = pad_nhwc(jnp.asarray(batch), pad)
             out = jit_evals[j](params, jnp.asarray(batch), jnp.float32(lmbda))
             loss_m.update(float(out["loss"]))
             bpp_m.update(float(out["bpp_loss"]))
