@@ -128,3 +128,31 @@ def test_wacnn_stanh_refinement_modes():
         o1 = codec.module.apply(codec.variables, x, training=False, lv=1)
         # different per-level decoders -> different reconstructions
         assert np.abs(np.asarray(o0["x_hat"]) - np.asarray(o1["x_hat"])).max() > 0
+
+
+def test_tcm_stanh_forward_and_roundtrip():
+    from reslic_tcm_tpu.models.stanh.variants import make_tcm_stanh
+
+    codec = make_tcm_stanh(
+        GCFG, N=32, M=40, hyper_ch=24, atten_inter_dim=16,
+    )
+    x = _image(seed=9)
+    out = codec.module.apply(
+        codec.variables, x, training=True, lv=1, beta=jnp.float32(25.0),
+        rngs={"noise": jax.random.PRNGKey(0)},
+    )
+    assert np.isfinite(float(out["gap_gaussian"]))
+    codec.update()
+    enc = codec.compress(x, lv=1)
+    dec = codec.decompress(enc["strings"], enc["shape"], lv=1)
+    out_eval = codec.module.apply(codec.variables, x, training=False, lv=1)
+    want = np.clip(np.asarray(out_eval["x_hat"]), 0, 1)
+    np.testing.assert_allclose(np.asarray(dec["x_hat"]), want, atol=1e-5)
+
+
+def test_registry_names():
+    from reslic_tcm_tpu.models import models_dict
+
+    for name in ("tcm", "stanh", "scale_stanh", "scale_gain", "wacnn_gain",
+                 "wacnn_stanh", "scale_gain_sc"):
+        assert name in models_dict, name
