@@ -27,14 +27,18 @@ def main(argv=None):
     p.add_argument("--M", type=int, default=320)
     p.add_argument("--height", type=int, default=768)
     p.add_argument("--width", type=int, default=512)
-    p.add_argument("--batch", type=int, default=4)
-    p.add_argument("--iters", type=int, default=2)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=3)
     p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     p.add_argument("--fused-attn", action="store_true")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 transform compute (fp32 params)")
     p.add_argument("--device-coder", action="store_true",
                    help="measure the on-device interleaved-rANS profile")
+    p.add_argument("--stream", type=int, default=3, metavar="NBATCH",
+                   help="measure the streamed profile: pipelined encode over "
+                        "NBATCH batches (host rANS overlaps device compute) "
+                        "+ 2-way threaded decode")
     args = p.parse_args(argv)
 
     import jax
@@ -75,6 +79,16 @@ def main(argv=None):
         leaf = params[seq][layer]["conv"]
         leaf["kernel"] = leaf["kernel"] * 0.02
         leaf["bias"] = leaf["bias"] * 0.02
+    # Trained latents are channel-sparse: most of the M channels are nearly
+    # deterministic and only a few dozen carry signal (published Kodak rates
+    # top out at 0.88 bpp). Attenuate all but 32 output channels of the last
+    # analysis conv so total bpp lands in the trained regime (~1 bpp)
+    # instead of ~12 bpp of a dense random latent.
+    ga_leaf = params["g_a"][last_ga]["conv"]
+    ch_scale = np.ones((ga_leaf["kernel"].shape[-1],), np.float32)
+    ch_scale[32:] = 1e-3
+    ga_leaf["kernel"] = ga_leaf["kernel"] * ch_scale
+    ga_leaf["bias"] = ga_leaf["bias"] * ch_scale
     for i in range(codec.module.num_slices):
         for nm in ("cc_scale", "cc_mean"):
             leaf = params[f"{nm}_{i}"]["layers_4"]["conv"]
@@ -112,6 +126,55 @@ def main(argv=None):
         enc_best = min(enc_best, t1 - t0)
         dec_best = min(dec_best, t2 - t1)
 
+    stream_mps = 0.0
+    if args.stream:
+        from concurrent.futures import ThreadPoolExecutor
+
+        xs = [
+            jnp.asarray(
+                np.concatenate(
+                    [img(100 + j * args.batch + i) for i in range(args.batch)], 0
+                )
+            )
+            for j in range(args.stream)
+        ]
+
+        def run_stream():
+            t0 = time.perf_counter()
+            encs_s = codec.compress_pipelined(xs)
+            t1 = time.perf_counter()
+            groups = [
+                encs_s[j * args.batch : (j + 1) * args.batch]
+                for j in range(args.stream)
+            ]
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                decs = list(
+                    pool.map(
+                        lambda g: codec.decompress_batch(
+                            [e["strings"] for e in g], g[0]["shape"]
+                        ),
+                        groups,
+                    )
+                )
+            for d in decs:
+                jax.block_until_ready(d["x_hat"])
+            t2 = time.perf_counter()
+            return t1 - t0, t2 - t1, t2 - t0
+
+        run_stream()  # warm any new shapes / overlap paths
+        se = sd = st = float("inf")
+        for _ in range(args.iters):
+            e_t, d_t, tot = run_stream()
+            se, sd, st = min(se, e_t), min(sd, d_t), min(st, tot)
+        smp = args.stream * args.batch * args.height * args.width / 1e6
+        stream_mps = smp / st
+        print(
+            f"# stream profile ({args.stream}x B={args.batch}): "
+            f"enc={se*1000:.0f}ms dec={sd*1000:.0f}ms total={st*1000:.0f}ms "
+            f"-> {stream_mps:.2f} MP/s",
+            file=sys.stderr,
+        )
+
     device_mps = 0.0
     if args.device_coder:
         enc = codec.compress_device(x, k=1024)
@@ -132,7 +195,7 @@ def main(argv=None):
         )
 
     mp = args.batch * args.height * args.width / 1e6
-    mps = max(mp / best, device_mps)  # report the best measured profile
+    mps = max(mp / best, device_mps, stream_mps)  # best measured profile
     nbytes = sum(
         len(e["strings"][0][0]) + sum(len(s) for s in e["strings"][1]) for e in encs
     )

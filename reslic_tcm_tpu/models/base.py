@@ -339,6 +339,40 @@ class ChannelARCodec:
         transfer at the end, then per-image host rANS (threaded). Symbol
         order per image matches the reference's per-slice channel-major
         flatten (tcm.py:551-552)."""
+        packed, meta = self._compress_device_stage(x, lv)
+        return self._compress_host_stage(np.asarray(packed), meta)
+
+    def compress_pipelined(self, batches, lv: int = 0) -> list[dict]:
+        """Stream encode a sequence of NHWC batches, overlapping stages.
+
+        JAX dispatch is asynchronous: the device programs for batch i+1 are
+        enqueued before we block on batch i's single packed transfer, and
+        batch i's host rANS coding runs while the TPU is busy with batch
+        i+1's transforms. Hides most of the host-coder + transfer cost
+        behind device compute (the reference encodes strictly serially,
+        tcm.py:529-575)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        futs = []
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for x in batches:
+                packed, meta = self._compress_device_stage(x, lv)
+                futs.append(
+                    pool.submit(
+                        lambda p=packed, m=meta: self._compress_host_stage(
+                            np.asarray(p), m
+                        )
+                    )
+                )
+            results: list[dict] = []
+            for f in futs:
+                results.extend(f.result())
+        return results
+
+    def _compress_device_stage(self, x, lv: int = 0):
+        """Enqueue every device program for one batch; returns the packed
+        (still device-resident, async) buffer plus host metadata. Does not
+        block on the TPU."""
         assert self.eb_tables is not None, "call update() first"
         scale_table = jnp.asarray(self.gaussian_conditional.scale_table)
         b = x.shape[0]
@@ -388,8 +422,12 @@ class ChannelARCodec:
                 v, list(s), list(ii), zz, method=ChannelARModule.pack_for_host
             ),
         )
-        packed = np.asarray(pack(self.variables, tuple(syms), tuple(idxs), z))
-        b, H, W = x.shape[0], x.shape[1], x.shape[2]
+        packed = pack(self.variables, tuple(syms), tuple(idxs), z)
+        return packed, (x.shape[0], x.shape[1], x.shape[2])
+
+    def _compress_host_stage(self, packed: np.ndarray, meta) -> list[dict]:
+        """Unpack the transferred buffer and run per-image host rANS."""
+        b, H, W = meta
         n = (H // 16) * (W // 16) * self.module.M
         zh, zw = H // 64, W // 64
         zc = getattr(self.module, "hyper_ch", None) or self.module.N
@@ -418,10 +456,10 @@ class ChannelARCodec:
                 "shape": (int(zh), int(zw)),
             }
 
-        if x.shape[0] == 1:
+        if b == 1:
             return [encode_one(0)]
-        with ThreadPoolExecutor(max_workers=min(8, x.shape[0])) as pool:
-            return list(pool.map(encode_one, range(x.shape[0])))
+        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+            return list(pool.map(encode_one, range(b)))
 
     def decompress(self, strings, shape, lv: int = 0) -> dict:
         out = self.decompress_batch([strings], shape, lv)
@@ -463,28 +501,43 @@ class ChannelARCodec:
             d.set_stream(s[0][0])
             decoders.append(d)
 
-        y_hat_slices = []
-        for i in range(self.module.num_slices):
-            step = self._jit(
-                f"dec_params_{i}_{y_shape}_{b}", self._make_params_fn(i, y_shape)
-            )
-            mu, indexes, mean_support = step(
-                self.variables, latent_means, latent_scales, scale_table,
-                *y_hat_slices,
-            )
-            idx_np = np.asarray(indexes)  # [B, h, w, c] single D2H
-            c = idx_np.shape[-1]
-            sym = np.empty((b, c, y_shape[0], y_shape[1]), np.int16)
-            for j, dec in enumerate(decoders):
-                rv = dec.decode_stream(
-                    idx_np[j].transpose(2, 0, 1).reshape(-1),
-                    t.quantized_cdf, t.cdf_length, t.offset,
-                )
-                sym[j] = rv.reshape(c, y_shape[0], y_shape[1]).astype(np.int16)
-            sym_d = jnp.asarray(sym.transpose(0, 2, 3, 1))  # single H2D
+        from concurrent.futures import ThreadPoolExecutor
 
-            finish = self._jit(f"dec_finish_{i}_{b}", self._make_finish_fn(i))
-            y_hat_slices.append(finish(self.variables, mean_support, sym_d, mu))
+        y_hat_slices = []
+        with ThreadPoolExecutor(max_workers=min(8, b)) as pool:
+            for i in range(self.module.num_slices):
+                step = self._jit(
+                    f"dec_params_{i}_{y_shape}_{b}", self._make_params_fn(i, y_shape)
+                )
+                mu, indexes, mean_support = step(
+                    self.variables, latent_means, latent_scales, scale_table,
+                    *y_hat_slices,
+                )
+                idx_np = np.asarray(indexes)  # [B, h, w, c] single D2H
+                c = idx_np.shape[-1]
+                sym = np.empty((b, c, y_shape[0], y_shape[1]), np.int16)
+
+                def dec_one(j, _idx=idx_np, _sym=sym, _c=c):
+                    # per-image decoder state; rANS is serial per stream but
+                    # independent across images (the C call drops the GIL)
+                    rv = decoders[j].decode_stream(
+                        _idx[j].transpose(2, 0, 1).reshape(-1),
+                        t.quantized_cdf, t.cdf_length, t.offset,
+                    )
+                    _sym[j] = rv.reshape(_c, y_shape[0], y_shape[1]).astype(
+                        np.int16
+                    )
+
+                if b == 1:
+                    dec_one(0)
+                else:
+                    list(pool.map(dec_one, range(b)))
+                sym_d = jnp.asarray(sym.transpose(0, 2, 3, 1))  # single H2D
+
+                finish = self._jit(f"dec_finish_{i}_{b}", self._make_finish_fn(i))
+                y_hat_slices.append(
+                    finish(self.variables, mean_support, sym_d, mu)
+                )
 
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
 

@@ -60,3 +60,22 @@ def test_device_codec_batched(tiny_codec):
     out = tiny_codec.forward(xb, training=False)
     want = np.clip(np.asarray(out["x_hat"]), 0, 1)
     np.testing.assert_allclose(np.asarray(dec["x_hat"]), want, atol=1e-5)
+
+
+def test_compress_pipelined_matches_batch(tiny_codec):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    batches = [
+        jnp.asarray(rng.uniform(size=(2, 128, 128, 3)), jnp.float32)
+        for _ in range(3)
+    ]
+    piped = tiny_codec.compress_pipelined(batches)
+    flat = []
+    for b in batches:
+        flat.extend(tiny_codec.compress_batch(b))
+    assert len(piped) == len(flat) == 6
+    for a, c in zip(piped, flat):
+        assert a["strings"][0][0] == c["strings"][0][0]
+        assert a["strings"][1][0] == c["strings"][1][0]
+        assert a["shape"] == c["shape"]
