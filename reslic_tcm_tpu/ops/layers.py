@@ -27,6 +27,41 @@ def leaky_relu(x):
     return jax.nn.leaky_relu(x, negative_slope=0.01)
 
 
+# Torch default init semantics. The reference trains with torch/timm
+# defaults (kaiming_uniform(a=sqrt(5)) for every Conv2d/Linear,
+# reference models/reference/tcm.py uses no explicit init except
+# trunc_normal_ on relative-position tables, tcm.py:157). That default —
+# U(-1/sqrt(fan_in), 1/sqrt(fan_in)), std ~ 0.577/sqrt(fan_in) — attenuates
+# each residual branch enough that the deep ConvTransBlock towers keep O(1)
+# activations at init; flax's LeCun-normal (gain 1) instead doubles variance
+# at every residual add, exploding y/z by ~40x and making training diverge
+# from step 0. variance_scaling(1/3, fan_in, uniform) gives exactly the
+# torch bound.
+torch_kernel_init = nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in: int) -> Callable:
+    """torch Conv2d/Linear bias default: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+
+    def init(key, shape, dtype=jnp.float32):
+        b = 1.0 / (fan_in ** 0.5)
+        return jax.random.uniform(key, shape, dtype, -b, b)
+
+    return init
+
+
+def torch_deconv_kernel_init(features: int, kernel_size: int) -> Callable:
+    """torch ConvTranspose2d default: fan_in is computed on the
+    [in, out, kh, kw] weight as out_channels * k^2 (not in_channels)."""
+    fan = features * kernel_size * kernel_size
+
+    def init(key, shape, dtype=jnp.float32):
+        b = 1.0 / (fan ** 0.5)
+        return jax.random.uniform(key, shape, dtype, -b, b)
+
+    return init
+
+
 class Conv(nn.Module):
     """Conv2d with torch-style symmetric padding k//2 (reference
     models/reference/utils.py:117-124)."""
@@ -40,6 +75,7 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x):
         p = self.kernel_size // 2
+        fan_in = x.shape[-1] * self.kernel_size * self.kernel_size
         return nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
@@ -47,6 +83,8 @@ class Conv(nn.Module):
             padding=((p, p), (p, p)),
             use_bias=self.use_bias,
             dtype=self.dtype,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(fan_in),
             name="conv",
         )(x)
 
@@ -81,7 +119,7 @@ class Deconv(nn.Module):
         op = s - 1
         kernel = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            torch_deconv_kernel_init(self.features, k),
             (k, k, x.shape[-1], self.features),
         )
         pad = (k - 1 - p, k - 1 - p + op)
@@ -94,7 +132,9 @@ class Deconv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            bias = self.param(
+                "bias", torch_bias_init(self.features * k * k), (self.features,)
+            )
             y = y + bias.astype(y.dtype)
         return y
 

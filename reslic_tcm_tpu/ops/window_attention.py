@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import Conv, DropPath, ResidualUnit, gelu
+from .layers import (Conv, DropPath, ResidualUnit, gelu, torch_bias_init,
+                     torch_kernel_init)
 
 
 def window_partition(x: jnp.ndarray, w: int) -> jnp.ndarray:
@@ -77,9 +78,11 @@ class _Dense(nn.Module):
 
     def setup(self):
         self.kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features)
+            "kernel", torch_kernel_init, (self.in_features, self.features)
         )
-        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        self.bias = self.param(
+            "bias", torch_bias_init(self.in_features), (self.features,)
+        )
 
     def __call__(self, x):
         return x @ self.kernel.astype(x.dtype) + self.bias.astype(x.dtype)
@@ -204,9 +207,13 @@ class SwinTransformerBlock(nn.Module):
         y = WMSA(self.dim, self.head_dim, self.window_size, self.type, self.dtype, name="msa")(y)
         x = x + dp(y, deterministic)
         y = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
-        y = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp1")(y)
+        y = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp1",
+                     kernel_init=torch_kernel_init,
+                     bias_init=torch_bias_init(self.dim))(y)
         y = gelu(y)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp2")(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp2",
+                     kernel_init=torch_kernel_init,
+                     bias_init=torch_bias_init(4 * self.dim))(y)
         return x + dp(y, deterministic)
 
 
@@ -265,7 +272,9 @@ class WindowAttention(nn.Module):
             ((2 * w - 1) * (2 * w - 1), self.num_heads),
         )
 
-        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
+        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv",
+                       kernel_init=torch_kernel_init,
+                       bias_init=torch_bias_init(self.dim))(x)
         qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
         attn = jnp.einsum("bhnc,bhmc->bhnm", q, k)
@@ -283,7 +292,9 @@ class WindowAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bhmc->bhnc", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj",
+                        kernel_init=torch_kernel_init,
+                        bias_init=torch_bias_init(self.dim))(out)
 
 
 class WinBasedAttention(nn.Module):

@@ -31,9 +31,10 @@ def fast_init(module, rngs, *args, **kwargs):
         names = [getattr(k, "key", str(k)) for k in path]
         name = names[-1]
         shape, dtype = leaf.shape, leaf.dtype
-        if name == "kernel":  # lecun normal
+        if name == "kernel":  # torch kaiming_uniform(a=sqrt(5)) default
             fan_in = int(np.prod(shape[:-1])) if len(shape) > 1 else shape[0]
-            return rng.normal(0, 1 / math.sqrt(max(fan_in, 1)), shape)
+            b = 1 / math.sqrt(max(fan_in, 1))
+            return rng.uniform(-b, b, shape)
         if name == "bias":
             return np.zeros(shape)
         if name.startswith("bias"):  # EB chain bias{i} ~ U(-.5, .5)

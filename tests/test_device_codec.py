@@ -41,7 +41,10 @@ def test_device_codec_roundtrip_matches_host(tiny_codec):
     # the host coder's 4-bit chunks) dominate — with trained weights and
     # real image sizes the gap is a few percent (escapes ~0, flush amortized)
     host_bytes = len(host_enc["strings"][0][0]) + len(host_enc["strings"][1][0])
-    assert host_bytes * 0.5 < enc["nbytes"] < host_bytes * 2.0
+    # subtract the fixed per-lane flush (4 bytes x k lanes): at this tiny size
+    # and near-empty streams it dwarfs the content bytes
+    content = enc["nbytes"] - 4 * 128
+    assert host_bytes * 0.5 < content < host_bytes * 2.0
 
 
 def test_device_codec_matches_eval_forward(tiny_codec):

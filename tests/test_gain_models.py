@@ -13,6 +13,24 @@ from reslic_tcm_tpu.models.gain.gained import (
 from reslic_tcm_tpu.models.gain.sc import make_sc_gained
 
 
+def _boost_last_conv(codec, seq="g_a", f=8.0):
+    """Amplify the final analysis conv so latents quantize to nonzero
+    symbols: torch-default init (correctly) yields near-zero latents at
+    init, which would make rate/modulation assertions vacuous."""
+    import jax as _jax
+
+    p = _jax.tree_util.tree_map(lambda a: a, codec.variables["params"])
+    last = sorted(
+        (k for k in p[seq] if k.startswith("layers_")),
+        key=lambda k: int(k.split("_")[1]),
+    )[-1]
+    leaf = p[seq][last]["conv"]
+    leaf["kernel"] = leaf["kernel"] * f
+    leaf["bias"] = leaf["bias"] * f
+    codec.variables = {"params": p}
+    return codec
+
+
 def _image(h=64, w=64, seed=0):
     rng = np.random.default_rng(seed)
     g = rng.uniform(size=(1, h // 8, w // 8, 3))
@@ -37,6 +55,7 @@ def gained_ms():
     codec = make_gained_hyperprior("mean-scale", N=16, M=24,
                                    lmbda_list=(0.0025, 0.013, 0.05),
                                    input_shape=(64, 64))
+    _boost_last_conv(codec)
     # make the levels actually differ (trained gains would)
     p = jax.tree_util.tree_map(lambda a: a, codec.variables["params"])
     p["Gain"] = jnp.asarray([[0.5] * 24, [1.0] * 24, [2.0] * 24], jnp.float32)
@@ -119,6 +138,7 @@ def test_gained_wacnn_forward_and_roundtrip(gained_wacnn):
 
 def test_sc_gained_forward_and_roundtrip():
     codec = make_sc_gained(N=16, M=24, lmbda_list=(0.01, 0.05), input_shape=(64, 64))
+    _boost_last_conv(codec, seq="g_a4")  # SC model splits g_a into stages
     x = _image(seed=4)
     qmap = jnp.asarray(
         np.random.default_rng(5).uniform(size=(1, 64, 64, 1)), jnp.float32
