@@ -369,6 +369,28 @@ class ChannelARCodec:
                 results.extend(f.result())
         return results
 
+    def shard_for_inference(self, mesh) -> None:
+        """Data-parallel serving over a device mesh: replicate the weights,
+        and shard every batch passed to the codec APIs over the 'data' axis.
+
+        The jitted codec executables are sharding-polymorphic — XLA SPMD
+        partitions each program over the mesh and keeps all per-slice
+        intermediates device-resident, so compress/decompress scale with
+        the data axis without any per-device Python loop (the reference
+        scales inference only by nn.DataParallel on the forward pass,
+        helper.py:106-113; its codec path is strictly single-GPU)."""
+        from ..parallel.mesh import replicate, shard_batch
+
+        self.variables = replicate(mesh, self.variables)
+        self._inference_mesh = mesh
+        self._shard_batch = lambda x: shard_batch(mesh, x)
+
+    def _maybe_shard(self, x):
+        fn = getattr(self, "_shard_batch", None)
+        if fn is not None and x.shape[0] % self._inference_mesh.devices.size == 0:
+            return fn(x)
+        return x
+
     def _compress_device_stage(self, x, lv: int = 0):
         """Enqueue every device program for one batch; returns the packed
         (still device-resident, async) buffer plus host metadata. Does not
@@ -384,7 +406,7 @@ class ChannelARCodec:
                 v, xx, _lv, method=ChannelARModule.analysis
             ),
         )
-        y, z, z_hat = analysis(self.variables, x)
+        y, z, z_hat = analysis(self.variables, self._maybe_shard(x))
 
         # same executable as decompress_batch's hyper step
         def _hyper(v, zz, _lv=lv):
@@ -480,7 +502,7 @@ class ChannelARCodec:
             ],
             axis=0,
         )
-        z_hat = jnp.asarray(z_hat)
+        z_hat = self._maybe_shard(jnp.asarray(z_hat))
 
         def _hyper(v, zz, _lv=lv):
             return self.module.apply(
@@ -602,7 +624,7 @@ class ChannelARCodec:
                 v, xx, _lv, method=ChannelARModule.analysis
             ),
         )
-        y, z, z_hat = analysis(self.variables, x)
+        y, z, z_hat = analysis(self.variables, self._maybe_shard(x))
 
         def _hyper(v, zz, _lv=lv):
             return self.module.apply(v, zz, _lv, method=ChannelARModule.hyper_synthesis)
