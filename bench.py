@@ -175,6 +175,34 @@ def main(argv=None):
             file=sys.stderr,
         )
 
+    duplex_mps = 0.0
+    if args.stream:
+        xs_d = [
+            jnp.asarray(
+                np.concatenate(
+                    [img(500 + j * args.batch + i) for i in range(args.batch)], 0
+                )
+            )
+            for j in range(args.stream)
+        ]
+
+        def run_duplex():
+            t0 = time.perf_counter()
+            outs = codec.roundtrip_pipelined(xs_d)
+            for o in outs:
+                jax.block_until_ready(o["x_hat"])
+            return time.perf_counter() - t0
+
+        run_duplex()  # warm
+        dt = min(run_duplex() for _ in range(args.iters))
+        dmp = args.stream * args.batch * args.height * args.width / 1e6
+        duplex_mps = dmp / dt
+        print(
+            f"# duplex profile ({args.stream}x B={args.batch}): "
+            f"total={dt*1000:.0f}ms -> {duplex_mps:.2f} MP/s",
+            file=sys.stderr,
+        )
+
     device_mps = 0.0
     if args.device_coder:
         enc = codec.compress_device(x, k=1024)
@@ -195,7 +223,7 @@ def main(argv=None):
         )
 
     mp = args.batch * args.height * args.width / 1e6
-    mps = max(mp / best, device_mps, stream_mps)  # best measured profile
+    mps = max(mp / best, device_mps, stream_mps, duplex_mps)  # best profile
     nbytes = sum(
         len(e["strings"][0][0]) + sum(len(s) for s in e["strings"][1]) for e in encs
     )

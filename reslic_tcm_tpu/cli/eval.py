@@ -36,6 +36,9 @@ def parse_args(argv):
                         help="overlap-tiled inference for high-res inputs "
                              "(e.g. 512; 0 = monolithic)")
     parser.add_argument("--tile-overlap", type=int, default=64)
+    parser.add_argument("--shard-spatial", type=int, default=0,
+                        help="shard each image's H across this many devices "
+                             "(halo-exchange sharded forward; 0 = off)")
     args = parser.parse_args(argv)
     return args
 
@@ -116,7 +119,32 @@ def main(argv=None):
             MS_SSIM += msssim_v
         else:
             s = time.time()
-            if args.tile and max(x_padded.shape[1], x_padded.shape[2]) > args.tile:
+            if args.shard_spatial:
+                from jax.sharding import Mesh
+
+                from ..parallel.spatial import mesh_sharded_forward
+
+                n_dev = args.shard_spatial
+                # pad H so every shard is a multiple of 128 (window floor)
+                hp = -(-x_padded.shape[1] // (128 * n_dev)) * (128 * n_dev)
+                extra = ((0, hp - x_padded.shape[1]), (0, 0))
+                xs = jnp.pad(
+                    x_padded, ((0, 0),) + extra + ((0, 0),), mode="edge"
+                )
+                mesh = Mesh(
+                    np.asarray(jax.devices()[:n_dev]).reshape(n_dev),
+                    ("spatial",),
+                )
+                halo = min(128, hp // n_dev)
+                x_hat_full, bits = mesh_sharded_forward(
+                    net.module, net.variables, xs, mesh, "spatial", halo=halo
+                )
+                jax.block_until_ready(x_hat_full)
+                e = time.time()
+                total_time += e - s
+                x_hat = crop_nhwc(x_hat_full[:, : x_padded.shape[1]], pad)
+                bpp = float(bits) / (xs.shape[1] * xs.shape[2])
+            elif args.tile and max(x_padded.shape[1], x_padded.shape[2]) > args.tile:
                 from ..parallel.spatial import tiled_forward
 
                 x_hat_full, bits = tiled_forward(

@@ -228,6 +228,30 @@ class ChannelARModule(nn.Module):
         ).reshape(b, -1)
         return jnp.concatenate([sym_flat, idx_flat, z_flat], axis=-1)
 
+    def pack_for_host_i8(self, syms, idxs, z):
+        """Half-width transfer buffer for the trained-symbol regime:
+        [symbols int8 | indexes uint8-as-int8 | z bitcast 4xint8], plus the
+        max |symbol| so the host can detect (rare) int8 overflow and fall
+        back to the int16 pack. Trained latent symbols are overwhelmingly in
+        [-128, 127] (published rates top out below 1 bpp), so this halves
+        the dominant device->host transfer."""
+        b = z.shape[0]
+        sym16 = jnp.stack(syms, 0).transpose(1, 0, 4, 2, 3).reshape(b, -1)
+        overflow = (jnp.max(jnp.abs(sym16.astype(jnp.int32))) > 127).astype(
+            jnp.int8
+        )
+        sym_flat = sym16.astype(jnp.int8)
+        idx_flat = (
+            jnp.stack(idxs, 0).transpose(1, 0, 4, 2, 3).reshape(b, -1)
+            .astype(jnp.int8)
+        )
+        z_flat = jax.lax.bitcast_convert_type(
+            z.astype(jnp.float32), jnp.int8
+        ).reshape(b, -1)
+        # overflow flag rides as the last column (no separate scalar transfer)
+        flag = jnp.broadcast_to(overflow, (b, 1))
+        return jnp.concatenate([sym_flat, idx_flat, z_flat, flag], axis=-1)
+
     def decode_slice_params(self, i: int, latent_means, latent_scales,
                             y_hat_slices: Sequence, y_shape, scale_table):
         """Per-slice decode step, device side (reference tcm.py:607-619)."""
@@ -339,8 +363,8 @@ class ChannelARCodec:
         transfer at the end, then per-image host rANS (threaded). Symbol
         order per image matches the reference's per-slice channel-major
         flatten (tcm.py:551-552)."""
-        packed, meta = self._compress_device_stage(x, lv)
-        return self._compress_host_stage(np.asarray(packed), meta)
+        staged, meta = self._compress_device_stage(x, lv)
+        return self._compress_host_stage(staged, meta)
 
     def compress_pipelined(self, batches, lv: int = 0) -> list[dict]:
         """Stream encode a sequence of NHWC batches, overlapping stages.
@@ -356,18 +380,64 @@ class ChannelARCodec:
         futs = []
         with ThreadPoolExecutor(max_workers=2) as pool:
             for x in batches:
-                packed, meta = self._compress_device_stage(x, lv)
+                staged, meta = self._compress_device_stage(x, lv)
                 futs.append(
                     pool.submit(
-                        lambda p=packed, m=meta: self._compress_host_stage(
-                            np.asarray(p), m
-                        )
+                        lambda p=staged, m=meta: self._compress_host_stage(p, m)
                     )
                 )
             results: list[dict] = []
             for f in futs:
                 results.extend(f.result())
         return results
+
+    def roundtrip_pipelined(self, batches, lv: int = 0,
+                            decode_workers: int = 2) -> list[dict]:
+        """Full-duplex serving pipeline: encode+decode a stream of NHWC
+        batches with the two directions overlapped across batches.
+
+        Encode is device-compute-bound (transforms) while decode is
+        host-link-bound (per-slice index/symbol round trips), so decoding
+        batch i while the TPU runs batch i+1's analysis hides most of the
+        decode wall time. All device programs are the same executables the
+        serial paths use; outputs are batch-ordered [{"strings", "shape",
+        "x_hat"}, ...] with x_hat batched per input batch.
+
+        The reference runs encode and decode strictly serially per image
+        (reference eval.py:101-126)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        enc_futs = []
+        with ThreadPoolExecutor(max_workers=2) as enc_pool, \
+                ThreadPoolExecutor(max_workers=decode_workers) as dec_pool:
+            for x in batches:
+                staged, meta = self._compress_device_stage(x, lv)
+                enc_futs.append(
+                    enc_pool.submit(
+                        lambda p=staged, m=meta: self._compress_host_stage(p, m)
+                    )
+                )
+            dec_futs = []
+            for f in enc_futs:
+                encs = f.result()
+                dec_futs.append(
+                    dec_pool.submit(
+                        lambda e=encs: (
+                            e,
+                            self.decompress_batch(
+                                [d["strings"] for d in e], e[0]["shape"], lv
+                            ),
+                        )
+                    )
+                )
+            out = []
+            for f in dec_futs:
+                encs, dec = f.result()
+                out.append({
+                    "encs": encs,
+                    "x_hat": dec["x_hat"],
+                })
+        return out
 
     def shard_for_inference(self, mesh) -> None:
         """Data-parallel serving over a device mesh: replicate the weights,
@@ -438,28 +508,52 @@ class ChannelARCodec:
             syms.append(sym)
             idxs.append(indexes)
 
-        pack = self._jit(
-            "pack",
+        pack8 = self._jit(
+            "pack_i8",
             lambda v, s, ii, zz: self.module.apply(
-                v, list(s), list(ii), zz, method=ChannelARModule.pack_for_host
+                v, list(s), list(ii), zz, method=ChannelARModule.pack_for_host_i8
             ),
         )
-        packed = pack(self.variables, tuple(syms), tuple(idxs), z)
-        return packed, (x.shape[0], x.shape[1], x.shape[2])
+        packed8 = pack8(self.variables, tuple(syms), tuple(idxs), z)
+        staged = (packed8, (tuple(syms), tuple(idxs), z))
+        return staged, (x.shape[0], x.shape[1], x.shape[2])
 
-    def _compress_host_stage(self, packed: np.ndarray, meta) -> list[dict]:
-        """Unpack the transferred buffer and run per-image host rANS."""
+    def _compress_host_stage(self, staged, meta) -> list[dict]:
+        """Block on the packed transfer, unpack, run per-image host rANS.
+
+        Optimistically uses the half-width int8 buffer; if the device-side
+        max |symbol| check trips (untrained weights / extreme content), the
+        int16 pack program re-runs on the still-device-resident tensors."""
         b, H, W = meta
         n = (H // 16) * (W // 16) * self.module.M
         zh, zw = H // 64, W // 64
         zc = getattr(self.module, "hyper_ch", None) or self.module.N
-        symbols = packed[:, :n].astype(np.int32)
-        indexes = packed[:, n : 2 * n].astype(np.int32)
-        z = (
-            np.ascontiguousarray(packed[:, 2 * n :])
-            .reshape(b, zh, zw, zc, 2)
-            .view(np.float32)[..., 0]
-        )
+        packed8, dev_tensors = staged
+        packed = np.asarray(packed8)
+        if packed[0, -1] == 0:
+            symbols = packed[:, :n].astype(np.int32)
+            indexes = packed[:, n : 2 * n].view(np.uint8).astype(np.int32)
+            z = (
+                np.ascontiguousarray(packed[:, 2 * n : -1])
+                .reshape(b, zh, zw, zc, 4)
+                .view(np.float32)[..., 0]
+            )
+        else:
+            pack16 = self._jit(
+                "pack_i16",
+                lambda v, s, ii, zz: self.module.apply(
+                    v, list(s), list(ii), zz, method=ChannelARModule.pack_for_host
+                ),
+            )
+            syms, idxs, zdev = dev_tensors
+            packed = np.asarray(pack16(self.variables, syms, idxs, zdev))
+            symbols = packed[:, :n].astype(np.int32)
+            indexes = packed[:, n : 2 * n].astype(np.int32)
+            z = (
+                np.ascontiguousarray(packed[:, 2 * n :])
+                .reshape(b, zh, zw, zc, 2)
+                .view(np.float32)[..., 0]
+            )
 
         from concurrent.futures import ThreadPoolExecutor
 

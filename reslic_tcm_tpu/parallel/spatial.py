@@ -70,14 +70,68 @@ def sharded_conv2d(x: jnp.ndarray, kernel: jnp.ndarray, mesh: Mesh,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
 
-    from jax.experimental.shard_map import shard_map
-
-    return shard_map(
+    return jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(None, axis_name, None, None), P(None, None, None, None)),
         out_specs=P(None, axis_name, None, None),
     )(x, kernel)
+
+
+# ------------------- mesh-sharded full-stack forward (ICI) -------------------
+
+
+def mesh_sharded_forward(module, variables, x, mesh: Mesh,
+                         axis_name: str = "spatial", halo: int = 64):
+    """Spatially-sharded eval forward through the FULL transform stack.
+
+    The image is sharded along H over `axis_name`; ONE halo exchange
+    (ppermute over ICI) supplies each chip the receptive-field margin, then
+    every chip runs the whole codec forward (g_a -> hyper -> channel-AR ->
+    g_s) on its padded shard, and the center rows are kept. This scales a
+    single huge image across a pod the way ring attention scales sequence
+    length — the window attention is local (reference tcm.py:315,348), so a
+    64 px margin covers the receptive field to visual accuracy; outputs
+    equal the monolithic forward away from shard seams exactly like the
+    single-chip overlap-tiled path (tiled_forward).
+
+    x: [1, H, W, C]; H divisible by the axis size; halo % 64 == 0 so the
+    latent (stride 16) and hyper (stride 64) grids crop evenly.
+    Returns (x_hat [1, H, W, C] sharded along H, total_bits scalar).
+    """
+    n = mesh.shape[axis_name]
+    _, H, W, _ = x.shape
+    assert H % n == 0, (H, n)
+    h_s = H // n
+    assert halo % 64 == 0 and halo <= h_s, (halo, h_s)
+
+    def body(vs, xs):
+        xp = halo_exchange(xs, halo, axis_name)
+        out = module.apply(vs, xp, training=False)
+        x_hat = out["x_hat"][:, halo : halo + h_s]
+        bits = jnp.zeros((), jnp.float32)
+        strides = {"y": 16, "z": 64}
+        for key, lik in out["likelihoods"].items():
+            s = strides[key]
+            center = lik[:, halo // s : (halo + h_s) // s]
+            bits += -jnp.sum(jnp.log2(center))
+        return x_hat, jax.lax.psum(bits, axis_name)
+
+    spec_x = P(None, axis_name, None, None)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(jax.tree_util.tree_map(lambda _: P(), variables), spec_x),
+        out_specs=(spec_x, P()),
+        check_vma=False,
+    )
+    # place operands on the mesh (params replicated, x split along H)
+    from jax.sharding import NamedSharding
+
+    variables = jax.device_put(variables, NamedSharding(mesh, P()))
+    x = jax.device_put(x, NamedSharding(mesh, spec_x))
+    x_hat, bits = fn(variables, x)
+    return jnp.clip(x_hat, 0.0, 1.0), bits
 
 
 # ----------------------------- tiled inference -----------------------------

@@ -65,6 +65,26 @@ def test_device_codec_batched(tiny_codec):
     np.testing.assert_allclose(np.asarray(dec["x_hat"]), want, atol=1e-5)
 
 
+def test_roundtrip_pipelined_matches_serial(tiny_codec):
+    rng = np.random.default_rng(9)
+    batches = [
+        jnp.asarray(rng.uniform(size=(2, 128, 128, 3)), jnp.float32)
+        for _ in range(2)
+    ]
+    outs = tiny_codec.roundtrip_pipelined(batches)
+    assert len(outs) == 2
+    for x, o in zip(batches, outs):
+        encs = tiny_codec.compress_batch(x)
+        dec = tiny_codec.decompress_batch(
+            [e["strings"] for e in encs], encs[0]["shape"]
+        )
+        for a, c in zip(o["encs"], encs):
+            assert a["strings"][0][0] == c["strings"][0][0]
+        np.testing.assert_allclose(
+            np.asarray(o["x_hat"]), np.asarray(dec["x_hat"]), atol=1e-6
+        )
+
+
 def test_compress_pipelined_matches_batch(tiny_codec):
     import numpy as np
 

@@ -43,6 +43,35 @@ def test_tile_untile_roundtrip():
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
 
 
+def test_mesh_sharded_forward_matches_monolithic():
+    """Full-stack spatially-sharded forward (halo exchange over the mesh)
+    agrees with the monolithic forward away from shard seams."""
+    from jax.sharding import Mesh
+
+    from reslic_tcm_tpu.models.balle2018 import make_balle
+
+    codec = make_balle("factorized", N=8, M=12, input_shape=(64, 64))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(size=(1, 256, 64, 3)), jnp.float32)
+
+    mono = codec.forward(x, training=False)
+    mono_hat = np.clip(np.asarray(mono["x_hat"]), 0, 1)
+    mono_bits = float(
+        sum(-jnp.log2(l).sum() for l in mono["likelihoods"].values())
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(4), ("spatial",))
+    got, bits = sp.mesh_sharded_forward(
+        codec.module, codec.variables, x, mesh, "spatial", halo=64
+    )
+    got = np.asarray(got)
+    assert got.shape == mono_hat.shape
+    diff = np.abs(got - mono_hat)
+    assert diff.mean() < 0.02, diff.mean()
+    # rate estimate within a few % (halo rows are cropped, not double-counted)
+    assert abs(float(bits) - mono_bits) / mono_bits < 0.05, (float(bits), mono_bits)
+
+
 def test_tiled_forward_matches_monolithic_interior():
     """Tiled eval forward equals the monolithic forward away from seams."""
     from reslic_tcm_tpu.models.balle2018 import make_balle
