@@ -1,0 +1,80 @@
+"""Inside RBWS + SwinBlock: which op is slow? Frees buffers between tests."""
+import gc
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import flax.linen as nn
+from reslic_tcm_tpu.ops.layers import GDN, Conv, ResidualBlock
+from reslic_tcm_tpu.ops.window_attention import SwinTransformerBlock
+
+PREC = os.environ.get("PROF_PREC", "bfloat16")
+print(f"# device: {jax.devices()[0]} prec={PREC}", file=sys.stderr)
+rng = np.random.default_rng(0)
+_fetch = jax.jit(lambda t: t.ravel()[0].astype(jnp.float32))
+
+
+def timed(name, mod, shape, reps=5, flops=None):
+    x = jnp.asarray(rng.normal(0, 1, shape).astype(np.float32))
+    with jax.default_matmul_precision(PREC):
+        vs = mod.init(jax.random.PRNGKey(0), x)
+
+        def f(inp, eps):
+            with jax.default_matmul_precision(PREC):
+                return mod.apply(vs, inp + eps)
+        fn = jax.jit(f)
+        out = fn(x, jnp.float32(0))
+        np.asarray(_fetch(out))
+        t0 = time.perf_counter()
+        e = jnp.float32(0)
+        for _ in range(reps):
+            out = fn(x, e)
+            e = _fetch(out) * 0.0
+        np.asarray(e)
+    dt = (time.perf_counter() - t0) / reps
+    extra = f"  {flops/dt/1e12:5.1f} TF/s" if flops else ""
+    print(f"{name:44s} {dt*1e3:8.1f} ms{extra}")
+    del x, vs, out, fn
+    gc.collect()
+
+
+class C1(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return Conv(256, kernel_size=3, stride=2)(x)
+
+
+class C2(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return Conv(256, kernel_size=3)(x)
+
+
+class G(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return GDN(name="gdn")(x)
+
+
+B = 8
+timed("conv3x3 3->256 s2 (768x512)", C1(), (B, 768, 512, 3),
+      flops=2 * 9 * 3 * 256 * 384 * 256 * B)
+timed("conv3x3 256->256 (384x256)", C2(), (B, 384, 256, 256),
+      flops=2 * 9 * 256 * 256 * 384 * 256 * B)
+timed("GDN 256 (384x256)", G(), (B, 384, 256, 256),
+      flops=2 * 256 * 256 * 384 * 256 * B)
+timed("ResidualBlock 128 (384x256)", ResidualBlock(128), (B, 384, 256, 128),
+      flops=2 * 9 * 128 * 128 * 2 * 384 * 256 * B)
+timed("SwinBlock W hd8 (384x256)", SwinTransformerBlock(128, 8, 8, 0.0, "W"),
+      (B, 384, 256, 128))
+timed("SwinBlock W hd32 (96x64)", SwinTransformerBlock(128, 32, 8, 0.0, "W"),
+      (B, 96, 64, 128))

@@ -33,8 +33,13 @@ def main(argv=None):
     p.add_argument("--fused-attn", action="store_true")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 transform compute (fp32 params)")
+    p.add_argument("--fp32", action="store_true",
+                   help="keep fp32 MXU precision (parity mode; default is "
+                        "matmul_precision=bfloat16 for throughput)")
     p.add_argument("--device-coder", action="store_true",
                    help="measure the on-device interleaved-rANS profile")
+    p.add_argument("--no-serving", action="store_true",
+                   help="skip the fused analytic device-coder serving profile")
     p.add_argument("--stream", type=int, default=3, metavar="NBATCH",
                    help="measure the streamed profile: pipelined encode over "
                         "NBATCH batches (host rANS overlaps device compute) "
@@ -61,6 +66,11 @@ def main(argv=None):
     t0 = time.time()
     codec = make_tcm(N=args.N, M=args.M, fast_init=True,
                      dtype=jnp.bfloat16 if args.bf16 else None)
+    if not args.fp32:
+        # single-pass MXU path: ~4.4x faster convs on v5e than the fp32
+        # default (see artifacts/probe_precision2.py + docs/PERFORMANCE.md);
+        # enc/dec share executables so bit-identity is unaffected.
+        codec.set_matmul_precision("bfloat16")
     print(f"# init {time.time()-t0:.0f}s", file=sys.stderr)
     # XLA's composed window attention is faster than the current Pallas
     # kernel on this Mosaic version (see docs/PERFORMANCE.md); keep the
@@ -203,6 +213,58 @@ def main(argv=None):
             file=sys.stderr,
         )
 
+    # TPU-native serving profile: fused one-program analytic codec (packed
+    # RGB input, raw-u8 output, single-container streams), pipelined.
+    serving_mps = 0.0
+    if not args.no_serving:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from reslic_tcm_tpu.models.base import unshuffle_u8
+
+        ksrv = 4096
+        xs_p = [
+            jnp.asarray(
+                np.concatenate(
+                    [img(900 + j * args.batch + i) for i in range(args.batch)],
+                    0,
+                ).reshape(args.batch, args.height, args.width * 3)
+            )
+            for j in range(max(args.stream, 1))
+        ]
+
+        def run_serving():
+            t0 = time.perf_counter()
+            encs_v = [codec.compress_device_analytic(xx, k=ksrv) for xx in xs_p]
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                raws = list(
+                    pool.map(
+                        lambda e: np.asarray(
+                            codec.decompress_device_analytic(e, raw_u8=True)[
+                                "rgb_raw"
+                            ]
+                        ),
+                        encs_v,
+                    )
+                )
+            dt = time.perf_counter() - t0
+            return dt, encs_v, raws
+
+        run_serving()  # warm/compile
+        best_dt, encs_v, raws = run_serving()
+        for _ in range(max(args.iters - 1, 1)):
+            dt, encs_v, raws = run_serving()
+            best_dt = min(best_dt, dt)
+        unshuffle_u8(raws[0])  # exercised for parity with real serving
+        srv_mp = len(xs_p) * args.batch * args.height * args.width / 1e6
+        serving_mps = srv_mp / best_dt
+        srv_bpp = sum(e["nbytes"] for e in encs_v) * 8 / (srv_mp * 1e6)
+        print(
+            f"# serving profile ({len(xs_p)}x B={args.batch}, analytic "
+            f"device coder): {best_dt*1000:.0f}ms -> {serving_mps:.2f} MP/s "
+            f"(bpp={srv_bpp:.3f})",
+            file=sys.stderr,
+        )
+
     device_mps = 0.0
     if args.device_coder:
         enc = codec.compress_device(x, k=1024)
@@ -223,7 +285,7 @@ def main(argv=None):
         )
 
     mp = args.batch * args.height * args.width / 1e6
-    mps = max(mp / best, device_mps, stream_mps, duplex_mps)  # best profile
+    mps = max(mp / best, device_mps, stream_mps, duplex_mps, serving_mps)
     nbytes = sum(
         len(e["strings"][0][0]) + sum(len(s) for s in e["strings"][1]) for e in encs
     )

@@ -221,46 +221,23 @@ def encode_interleaved(symbols, indexes, cdf, cdf_length, offset,
     cdf_length = cdf_length.astype(jnp.int32)
     offset = offset.astype(jnp.int32)
 
-    def emit(buf, ptr, word, do):
-        # scatter `word` at (lane, ptr) where do; dummy column cap absorbs no-ops
-        lanes = jnp.arange(k)
-        col = jnp.where(do, ptr, cap)
-        buf = buf.at[lanes, col].set(word.astype(jnp.uint16))
-        return buf, ptr + do.astype(jnp.int32)
-
-    def put(x, buf, ptr, start, freq):
-        need = x >= (freq << 16)
-        buf, ptr = emit(buf, ptr, (x & MASK16).astype(jnp.uint16), need)
-        x = jnp.where(need, x >> 16, x)
-        x = ((x // freq) << 16) | ((x % freq) + start)
-        return x, buf, ptr
-
-    def put_bits16(x, buf, ptr, val, do):
-        # invariant guarantees renorm when active
-        buf, ptr = emit(buf, ptr, (x & MASK16).astype(jnp.uint16), do)
-        x2 = ((x >> 16) << 16) | val
-        return jnp.where(do, x2, x), buf, ptr
-
-    def step_fn(carry, inp):
-        x, buf, ptr = carry
+    # Words leave the scan as per-step OUTPUTS (up to 3 per lane per step:
+    # escape lo, escape hi, renorm word — in encode order); one vectorized
+    # scatter compacts them per lane afterwards. A words-buffer scatter in
+    # the scan carry costs ~65 us/step (artifacts/probe_enc_scan.py).
+    def step_fn(x, inp):
         sym, idx = inp
         max_value = (cdf_length[idx] - 2).astype(jnp.uint32)
         val = (sym - offset[idx]).astype(jnp.int32)
         esc = (val < 0) | (val >= max_value.astype(jnp.int32))
 
-        # escape work only when some lane in this step escapes (rare):
-        # skips two masked scatter+arithmetic passes on the fast path
-        def do_escape(args):
-            x, buf, ptr = args
-            raw = sym.astype(jnp.uint32)
-            # encode order (reverse of decode): lo, hi, bin
-            x, buf, ptr = put_bits16(x, buf, ptr, raw & MASK16, esc)
-            x, buf, ptr = put_bits16(x, buf, ptr, (raw >> 16) & MASK16, esc)
-            return x, buf, ptr
+        raw = sym.astype(jnp.uint32)
+        # escape emissions (invariant guarantees renorm when active)
+        w0 = (x & MASK16).astype(jnp.uint16)
+        x = jnp.where(esc, ((x >> 16) << 16) | (raw & MASK16), x)
+        w1 = (x & MASK16).astype(jnp.uint16)
+        x = jnp.where(esc, ((x >> 16) << 16) | ((raw >> 16) & MASK16), x)
 
-        x, buf, ptr = jax.lax.cond(
-            jnp.any(esc), do_escape, lambda a: a, (x, buf, ptr)
-        )
         val_u = jnp.where(esc, max_value, val.astype(jnp.uint32))
         if packed is not None:
             sf = packed[idx, val_u]
@@ -268,20 +245,46 @@ def encode_interleaved(symbols, indexes, cdf, cdf_length, offset,
         else:
             start = cdf[idx, val_u]
             freq = cdf[idx, val_u + 1] - start
-        x, buf, ptr = put(x, buf, ptr, start, freq)
-        return (x, buf, ptr), None
+        need = x >= (freq << 16)
+        w2 = (x & MASK16).astype(jnp.uint16)
+        x = jnp.where(need, x >> 16, x)
+        # div-free x//freq, x%freq: uint32 division lowers to a slow software
+        # loop on TPU; an f32 estimate is within +-1 of the true quotient for
+        # x < freq<<16 (q < 2^16, rel. err < 2^-23), so two bounded
+        # corrections make it exact — all cheap VPU selects.
+        q = (x.astype(jnp.float32) / freq.astype(jnp.float32)).astype(jnp.uint32)
+        r = (x - q * freq).astype(jnp.int32)
+        fi = freq.astype(jnp.int32)
+        for _ in range(2):
+            neg = r < 0
+            q = jnp.where(neg, q - 1, q)
+            r = jnp.where(neg, r + fi, r)
+            ge = r >= fi
+            q = jnp.where(ge, q + 1, q)
+            r = jnp.where(ge, r - fi, r)
+        x = (q << 16) | (r.astype(jnp.uint32) + start)
+        return x, (w0, esc, w1, esc, w2, need)
 
     x0 = jnp.full((k,), RANS_L, jnp.uint32)
-    buf0 = jnp.zeros((k, cap + 1), jnp.uint16)
-    ptr0 = jnp.zeros((k,), jnp.int32)
-
-    (x, buf, ptr), _ = jax.lax.scan(
-        step_fn, (x0, buf0, ptr0), (sym_g[::-1], idx_g[::-1])
+    x, (w0, d0, w1, d1, w2, d2) = jax.lax.scan(
+        step_fn, x0, (sym_g[::-1], idx_g[::-1])
     )
+
+    # per-lane compaction over the (step, slot) emission sequence
+    ws = jnp.stack([w0, w1, w2], axis=1).reshape(steps * 3, k)
+    dos = jnp.stack([d0, d1, d2], axis=1).reshape(steps * 3, k)
+    dos_i = dos.astype(jnp.int32)
+    pos = jnp.cumsum(dos_i, axis=0) - dos_i
+    counts = pos[-1] + dos_i[-1]
+    buf = jnp.zeros((k, cap + 1), jnp.uint16)
+    lanes_b = jnp.broadcast_to(jnp.arange(k)[None], dos.shape)
+    col = jnp.where(dos, jnp.minimum(pos, cap), cap)
+    buf = buf.at[lanes_b.reshape(-1), col.reshape(-1)].set(ws.reshape(-1))
+
     # flush state: lo then hi
-    buf, ptr = emit_final(buf, ptr, x, k, cap)
-    overflow = jnp.any(ptr > cap)
-    return buf[:, :cap], ptr, overflow
+    buf, counts = emit_final(buf, counts, x, k, cap)
+    overflow = jnp.any(counts > cap)
+    return buf[:, :cap], counts, overflow
 
 
 def emit_final(buf, ptr, x, k, cap):
@@ -296,29 +299,39 @@ def emit_final(buf, ptr, x, k, cap):
     return buf, ptr + 1
 
 
-def decoder_init(words, counts):
+def decoder_init(words, counts, offsets=None):
     """Initial decoder carry (per-lane states + read pointers) from a
-    device-resident stream. words uint16 [k, cap]."""
+    device-resident stream. words uint16 [k, cap], or a flat uint16 [n]
+    stream read at offsets[lane] + j (see analytic_rans.compact_stream)."""
     _, jnp = _jax()
 
-    k = words.shape[0]
     words = words.astype(jnp.uint32)
-    lanes = jnp.arange(k)
-    # post-decrement read convention (matches decode_segment's read())
     rp = counts.astype(jnp.int32) - 1
-    hi = words[lanes, jnp.maximum(rp, 0)]
+
+    if offsets is not None:
+        def read_at(rp_):
+            return words[offsets + jnp.maximum(rp_, 0)]
+    else:
+        k = words.shape[0]
+        lanes = jnp.arange(k)
+
+        def read_at(rp_):
+            return words[lanes, jnp.maximum(rp_, 0)]
+
+    hi = read_at(rp)
     rp = rp - 1
-    lo = words[lanes, jnp.maximum(rp, 0)]
+    lo = read_at(rp)
     rp = rp - 1
     x = (hi << 16) | lo
     return (x, rp)
 
 
 def decode_segment(carry, words, indexes, cdf, cdf_length, offset, k: int,
-                   inverse=None, packed=None):
+                   inverse=None, packed=None, lane_offsets=None):
     """Decode len(indexes) symbols (must be a multiple of k), carrying the
     per-lane decoder state — the channel-AR slice loop chains segments
-    without leaving the device."""
+    without leaving the device. With lane_offsets, `words` is a flat
+    compacted stream (analytic_rans.compact_stream)."""
     jax, jnp = _jax()
 
     indexes = indexes.reshape(-1).astype(jnp.int32)
@@ -334,9 +347,13 @@ def decode_segment(carry, words, indexes, cdf, cdf_length, offset, k: int,
     words = words.astype(jnp.uint32)
     lanes = jnp.arange(k)
 
-    def read(rp):
-        w = words[lanes, jnp.maximum(rp, 0)]
-        return w, rp - 1
+    if lane_offsets is not None:
+        def read(rp):
+            return words[lane_offsets + jnp.maximum(rp, 0)], rp - 1
+    else:
+        def read(rp):
+            w = words[lanes, jnp.maximum(rp, 0)]
+            return w, rp - 1
 
     def get_bits16(x, rp, do):
         val = x & MASK16
@@ -400,7 +417,8 @@ def decode_segment(carry, words, indexes, cdf, cdf_length, offset, k: int,
 
 
 def decode_interleaved(words, counts, indexes, cdf, cdf_length, offset,
-                       n: int, k: int = 256, inverse=None, packed=None):
+                       n: int, k: int = 256, inverse=None, packed=None,
+                       lane_offsets=None):
     """Device-side decode of a full stream. Returns int32 [n]."""
     _, jnp = _jax()
 
@@ -408,7 +426,8 @@ def decode_interleaved(words, counts, indexes, cdf, cdf_length, offset,
     pad = (-n) % k
     if pad:
         indexes = jnp.concatenate([indexes, jnp.zeros(pad, jnp.int32)])
-    carry = decoder_init(words, counts)
+    carry = decoder_init(words, counts, offsets=lane_offsets)
     _, syms = decode_segment(carry, words, indexes, cdf, cdf_length, offset, k,
-                             inverse=inverse, packed=packed)
+                             inverse=inverse, packed=packed,
+                             lane_offsets=lane_offsets)
     return syms[:n]

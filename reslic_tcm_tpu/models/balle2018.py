@@ -162,20 +162,34 @@ class HyperpriorCodec:
     """Host wrapper: update()/compress()/decompress() for the Balle family
     (reference Balle2018.py:99-108, 187-206, 245-268)."""
 
-    def __init__(self, module, variables):
+    def __init__(self, module, variables, matmul_precision: str | None = None):
         self.module = module
         self.variables = variables
         self.gaussian_conditional = GaussianConditional()
         self.eb_tables = None
         self._jit_cache = {}
+        self.matmul_precision = matmul_precision
 
     @property
     def params(self):
         return self.variables["params"]
 
+    def set_matmul_precision(self, precision: str | None):
+        """MXU precision for the codec device programs ("bfloat16" ~4x faster
+        convs on v5e, see docs/PERFORMANCE.md). Clears compiled programs."""
+        self.matmul_precision = precision
+        self._jit_cache.clear()
+
     def _jit(self, name, fn):
         if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(fn)
+            prec = self.matmul_precision
+            if prec is not None:
+                def wrapped(*a, _fn=fn, _p=prec, **kw):
+                    with jax.default_matmul_precision(_p):
+                        return _fn(*a, **kw)
+                self._jit_cache[name] = jax.jit(wrapped)
+            else:
+                self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]
 
     def update(self, scale_table=None):

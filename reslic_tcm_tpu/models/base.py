@@ -262,6 +262,13 @@ class ChannelARModule(nn.Module):
         idx = build_indexes(sigma, scale_table).astype(jnp.uint8)
         return mu, idx, mean_support
 
+    def decode_slice_params_sigma(self, i: int, latent_means, latent_scales,
+                                  y_hat_slices: Sequence, y_shape):
+        """Per-slice (mu, sigma, mean_support) for the analytic device coder
+        (continuous sigma; no scale-table quantization)."""
+        support = self.slice_support(list(y_hat_slices))
+        return self._mu_sigma(i, latent_means, latent_scales, support, y_shape)
+
     def decode_slice_finish(self, i: int, mean_support, y_hat_slice):
         return self._lrp(i, mean_support, y_hat_slice)
 
@@ -275,6 +282,23 @@ class ChannelARModule(nn.Module):
         y_hat = self.inv_gain_y(y_hat, lv)
         return jnp.clip(self.apply_synthesis(y_hat, lv), 0.0, 1.0)
 
+    def synthesize_raw_u8(self, y_hat, lv: int = 0):
+        """g_s with the final depth-to-space left to the host: returns the
+        pre-shuffle [B, H/r, W/r, 3 r^2] tensor quantized to uint8. The
+        serving profile uses this because a [B,H,W,3] image tensor is
+        lane-padded 3->128 on TPU (~26 ms to even touch at 8x768x512) and
+        uint8 quarters the device->host transfer."""
+        from ..ops.layers import SubpelConv3x3
+
+        y_hat = self.inv_gain_y(y_hat, lv)
+        layers = self.g_s.layers
+        assert isinstance(layers[-1], SubpelConv3x3), "packed output needs a subpel tail"
+        h = y_hat
+        for lyr in layers[:-1]:
+            h = lyr(h)
+        h = layers[-1](h, shuffle=False)
+        return jnp.round(jnp.clip(h, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
     def aux_loss(self):
         return self.entropy_bottleneck.aux_loss()
 
@@ -284,12 +308,19 @@ class ChannelARCodec:
     rANS coder. Mirrors the reference model API: update() / compress() /
     decompress() / forward (reference models/base.py:79-133)."""
 
-    def __init__(self, module: ChannelARModule, variables):
+    def __init__(self, module: ChannelARModule, variables,
+                 matmul_precision: str | None = None):
         self.module = module
         self.variables = variables
         self.gaussian_conditional = GaussianConditional()
         self.eb_tables: fz.CodingTables | None = None
         self._jit_cache: dict = {}
+        # MXU precision for every codec device program. fp32 convs lower to
+        # the 3-pass MXU path (~20 TFLOP/s on v5e); "bfloat16" uses the
+        # single-pass MXU path (~90-100 TFLOP/s measured, probe_precision2).
+        # Encoder and decoder share executables, so enc/dec bit-identity
+        # holds at ANY precision; only RD quality is (slightly) affected.
+        self.matmul_precision = matmul_precision
 
     # -------------------------------- state --------------------------------
 
@@ -311,9 +342,23 @@ class ChannelARCodec:
     def _eb_medians(self) -> np.ndarray:
         return np.asarray(self.params["entropy_bottleneck"]["quantiles"][:, 0, 1])
 
+    def set_matmul_precision(self, precision: str | None):
+        """MXU precision for the codec device programs ("bfloat16" ~4x faster
+        convs on v5e, see docs/PERFORMANCE.md). Clears compiled programs;
+        enc/dec bit-identity holds because both sides share executables."""
+        self.matmul_precision = precision
+        self._jit_cache.clear()
+
     def _jit(self, name, fn):
         if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(fn)
+            prec = self.matmul_precision
+            if prec is not None:
+                def wrapped(*a, _fn=fn, _p=prec, **kw):
+                    with jax.default_matmul_precision(_p):
+                        return _fn(*a, **kw)
+                self._jit_cache[name] = jax.jit(wrapped)
+            else:
+                self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]
 
     def _make_params_fn(self, i: int, y_shape):
@@ -881,6 +926,461 @@ class ChannelARCodec:
             return self.module.apply(v, yy, _lv, method=ChannelARModule.synthesize)
 
         return {"x_hat": self._jit(f"synth_{lv}", _synth)(self.variables, y_hat)}
+
+
+    # ------------------- fused one-program device codec -------------------
+    # The split device-coder path above dispatches ~20 programs per batch;
+    # on hosts where per-call dispatch is expensive (tunneled devices) that
+    # overhead rivals the compute. These variants trace the ENTIRE encode
+    # (analysis -> hyper -> slice loop -> interleaved-rANS scans) and the
+    # ENTIRE decode into ONE XLA program each. Bit-identity of the (mu,
+    # sigma, index) math between the two programs is validated by the
+    # on-chip roundtrip test (tests/test_device_codec.py + bench).
+
+    def _fused_encode_fn(self, lv: int, b: int, y_shape, k: int, cap: int,
+                         kz: int, z_cap: int):
+        from ..coding import device_rans as dr
+
+        module = self.module
+
+        def fn(v, x, scale_table, y_cdf, y_len, y_off, y_packed,
+               e_cdf, e_len, e_off, e_packed, med):
+            y, z, z_hat = module.apply(v, x, lv, method=ChannelARModule.analysis)
+            latent_means, latent_scales = module.apply(
+                v, z_hat, lv, method=ChannelARModule.hyper_synthesis
+            )
+            syms, idxs, y_hat_slices = [], [], []
+            for i in range(module.num_slices):
+                mu, indexes, mean_support = module.apply(
+                    v, i, latent_means, latent_scales, list(y_hat_slices),
+                    y_shape, scale_table,
+                    method=ChannelARModule.decode_slice_params,
+                )
+                sym = module.apply(
+                    v, i, y, mu, method=ChannelARModule.quantize_slice
+                )
+                y_hat_slices.append(
+                    module.apply(
+                        v, i, mean_support, sym, mu,
+                        method=ChannelARModule.decode_slice_dequant_finish,
+                    )
+                )
+                syms.append(sym.reshape(-1).astype(jnp.int32))
+                idxs.append(indexes.reshape(-1).astype(jnp.int32))
+            y_words, y_counts, y_ovf = dr.encode_interleaved(
+                jnp.concatenate(syms), jnp.concatenate(idxs),
+                y_cdf, y_len, y_off, k=k, cap=cap, packed=y_packed,
+            )
+            z_idx = jnp.broadcast_to(
+                jnp.arange(z.shape[-1], dtype=jnp.int32), z.shape
+            ).reshape(-1)
+            z_sym = jnp.round(
+                z.astype(jnp.float32) - med[None, None, None, :]
+            ).reshape(-1).astype(jnp.int32)
+            z_words, z_counts, z_ovf = dr.encode_interleaved(
+                z_sym, z_idx, e_cdf, e_len, e_off, k=kz, cap=z_cap,
+                packed=e_packed,
+            )
+            return y_words, y_counts, y_ovf, z_words, z_counts, z_ovf
+
+        return fn
+
+    def _fused_decode_fn(self, lv: int, b: int, zh: int, zw: int, k: int,
+                         kz: int):
+        from ..coding import device_rans as dr
+
+        module = self.module
+        y_shape = (zh * 4, zw * 4)
+
+        def fn(v, y_words, y_counts, z_words, z_counts, scale_table,
+               y_cdf, y_len, y_off, y_inv, y_packed,
+               e_cdf, e_len, e_off, e_inv, e_packed, med):
+            zc = e_cdf.shape[0]
+            n_z = b * zh * zw * zc
+            z_idx = jnp.broadcast_to(
+                jnp.arange(zc, dtype=jnp.int32), (b, zh, zw, zc)
+            ).reshape(-1)
+            z_syms = dr.decode_interleaved(
+                z_words, z_counts, z_idx, e_cdf, e_len, e_off, n=n_z, k=kz,
+                inverse=e_inv, packed=e_packed,
+            )
+            z_hat = (
+                z_syms.astype(jnp.float32).reshape(b, zh, zw, zc)
+                + med[None, None, None, :]
+            )
+            latent_means, latent_scales = module.apply(
+                v, z_hat, lv, method=ChannelARModule.hyper_synthesis
+            )
+            carry = dr.decoder_init(y_words, y_counts)
+            y_hat_slices = []
+            for i in range(module.num_slices):
+                mu, indexes, mean_support = module.apply(
+                    v, i, latent_means, latent_scales, list(y_hat_slices),
+                    y_shape, scale_table,
+                    method=ChannelARModule.decode_slice_params,
+                )
+                carry, syms = dr.decode_segment(
+                    carry, y_words, indexes.reshape(-1).astype(jnp.int32),
+                    y_cdf, y_len, y_off, k=k, inverse=y_inv, packed=y_packed,
+                )
+                sym = syms.reshape(indexes.shape).astype(jnp.int16)
+                y_hat_slices.append(
+                    module.apply(
+                        v, i, mean_support, sym, mu,
+                        method=ChannelARModule.decode_slice_dequant_finish,
+                    )
+                )
+            y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+            return module.apply(
+                v, y_hat, lv, method=ChannelARModule.synthesize
+            )
+
+        return fn
+
+    def compress_device_fused(self, x, lv: int = 0, k: int = 1024,
+                              cap: int | None = None) -> dict:
+        """Fully device-side encode as ONE XLA program (transforms + scans).
+        Same stream format as compress_device."""
+        from ..coding import device_rans as dr  # noqa: F401
+
+        assert self.eb_tables is not None, "call update() first"
+        scale_table = jnp.asarray(self.gaussian_conditional.scale_table)
+        b = x.shape[0]
+        y_shape = (x.shape[1] // 16, x.shape[2] // 16)
+        n_slice = y_shape[0] * y_shape[1] * (self.module.M // self.module.num_slices)
+        n_total = b * self.module.num_slices * n_slice
+        assert n_total % k == 0, (b, n_slice, k)
+        if cap is None:
+            cap = max(64, n_total // k)
+
+        (yt_all, et_all) = self._device_tables(lv)
+        yt, y_packed = yt_all[:3], yt_all[4]
+        et, e_packed = et_all[:3], et_all[4]
+        med = jnp.asarray(self._eb_medians())
+
+        zh, zw = x.shape[1] // 64, x.shape[2] // 64
+        zc = int(et[0].shape[0])
+        n_z = b * zh * zw * zc
+        kz = math_gcd_pow2(n_z, k)
+        z_cap = max(64, n_z // max(k // 4, 1))
+
+        x = self._maybe_shard(x)
+        for _attempt in range(4):
+            fn = self._jit(
+                f"fenc_{lv}_{b}_{y_shape}_{k}_{cap}",
+                self._fused_encode_fn(lv, b, y_shape, k, cap, kz, z_cap),
+            )
+            y_words, y_counts, y_ovf, z_words, z_counts, z_ovf = fn(
+                self.variables, x, scale_table, *yt, y_packed, *et, e_packed,
+                med,
+            )
+            if not bool(y_ovf):
+                break
+            cap *= 2
+        if bool(y_ovf) or bool(z_ovf):
+            raise RuntimeError(
+                "device-coder cap overflow; raise `cap` (symbol entropy "
+                "higher than the 16 bits/symbol budget)"
+            )
+        y_counts_h = np.asarray(y_counts)
+        z_counts_h = np.asarray(z_counts)
+        return {
+            "device_streams": {
+                "y": (np.asarray(y_words), y_counts_h),
+                "z": (np.asarray(z_words), z_counts_h),
+            },
+            "shape": (zh, zw),
+            "k": k,
+            "batch": b,
+            "nbytes": int(y_counts_h.sum() + z_counts_h.sum()) * 2,
+        }
+
+    def decompress_device_fused(self, enc: dict, lv: int = 0) -> dict:
+        """Fully device-side decode as ONE XLA program."""
+        (yt_all, et_all) = self._device_tables(lv)
+        yt, y_inv, y_packed = yt_all[:3], yt_all[3], yt_all[4]
+        et, e_inv, e_packed = et_all[:3], et_all[3], et_all[4]
+        k = enc["k"]
+        zh, zw = enc["shape"]
+        b = enc.get("batch", 1)
+        scale_table = jnp.asarray(self.gaussian_conditional.scale_table)
+        med = jnp.asarray(self._eb_medians())
+
+        y_words = jnp.asarray(enc["device_streams"]["y"][0])
+        y_counts = jnp.asarray(enc["device_streams"]["y"][1])
+        z_words = jnp.asarray(enc["device_streams"]["z"][0])
+        z_counts = jnp.asarray(enc["device_streams"]["z"][1])
+        kz = int(z_words.shape[0])
+
+        fn = self._jit(
+            f"fdec_{lv}_{b}_{zh}_{zw}_{k}_{kz}",
+            self._fused_decode_fn(lv, b, zh, zw, k, kz),
+        )
+        x_hat = fn(
+            self.variables, y_words, y_counts, z_words, z_counts, scale_table,
+            *yt, y_inv, y_packed, *et, e_inv, e_packed, med,
+        )
+        return {"x_hat": x_hat}
+
+    # ----------------- analytic (table-free) fused device codec -----------------
+    # The flagship TPU-native serving profile: Gaussian CDF boundaries are
+    # computed from sigma in closed form (erf) inside the coding scans, so
+    # the y stream needs ZERO per-symbol table gathers (coding/analytic_rans).
+    # Continuous sigma (no 64-level scale table) also improves rate over the
+    # reference's quantized-scale coding. One XLA program per direction.
+
+    def _analytic_encode_fn(self, lv: int, b: int, y_shape, k: int, cap: int,
+                            kz: int, z_cap: int, y_flat_cap: int,
+                            z_flat_cap: int):
+        from ..coding import analytic_rans as ar
+        from ..coding import device_rans as dr
+
+        module = self.module
+
+        def fn(v, x, e_cdf, e_len, e_off, e_packed, med):
+            y, z, z_hat = module.apply(v, x, lv, method=ChannelARModule.analysis)
+            latent_means, latent_scales = module.apply(
+                v, z_hat, lv, method=ChannelARModule.hyper_synthesis
+            )
+            syms, pars, y_hat_slices = [], [], []
+            for i in range(module.num_slices):
+                mu, sigma, mean_support = module.apply(
+                    v, i, latent_means, latent_scales, list(y_hat_slices),
+                    y_shape, method=ChannelARModule.decode_slice_params_sigma,
+                )
+                p = ar.coder_params(sigma)
+                sym32 = module.apply(
+                    v, i, y, mu, method=ChannelARModule.quantize_slice
+                ).astype(jnp.int32)
+                sym32 = ar.clamp_symbols(sym32, p["c"])
+                y_hat_slices.append(
+                    module.apply(
+                        v, i, mean_support, sym32.astype(jnp.int16), mu,
+                        method=ChannelARModule.decode_slice_dequant_finish,
+                    )
+                )
+                syms.append(sym32.reshape(-1))
+                pars.append({kk: vv.reshape(-1) for kk, vv in p.items()})
+            par_cat = {
+                kk: jnp.concatenate([pp[kk] for pp in pars]) for kk in pars[0]
+            }
+            y_words, y_counts, y_ovf = ar.encode_gaussian(
+                jnp.concatenate(syms), par_cat, k=k, cap=cap
+            )
+            # compact to a flat budget-sized buffer: the padded [k, cap]
+            # lane buffer stays on device; only ~sum(counts) words transfer
+            y_flat, y_fovf = ar.compact_stream(y_words, y_counts, y_flat_cap)
+            z_idx = jnp.broadcast_to(
+                jnp.arange(z.shape[-1], dtype=jnp.int32), z.shape
+            ).reshape(-1)
+            z_sym = jnp.round(
+                z.astype(jnp.float32) - med[None, None, None, :]
+            ).reshape(-1).astype(jnp.int32)
+            z_words, z_counts, z_ovf = dr.encode_interleaved(
+                z_sym, z_idx, e_cdf, e_len, e_off, k=kz, cap=z_cap,
+                packed=e_packed,
+            )
+            z_flat, z_fovf = ar.compact_stream(z_words, z_counts, z_flat_cap)
+            # ONE uint16 container so the host pays a single D2H fetch
+            # (each transfer has ~30 ms fixed cost on tunneled devices):
+            # [ovf, yc_lo(k), yc_hi(k), zc_lo(kz), zc_hi(kz), y_flat, z_flat]
+            ovf = (y_ovf | y_fovf | z_ovf | z_fovf).astype(jnp.uint16)
+            yc = y_counts.astype(jnp.uint32)
+            zc = z_counts.astype(jnp.uint32)
+            return jnp.concatenate([
+                ovf[None],
+                (yc & 0xFFFF).astype(jnp.uint16),
+                (yc >> 16).astype(jnp.uint16),
+                (zc & 0xFFFF).astype(jnp.uint16),
+                (zc >> 16).astype(jnp.uint16),
+                y_flat,
+                z_flat,
+            ])
+
+        return fn
+
+    def _analytic_decode_fn(self, lv: int, b: int, zh: int, zw: int, k: int,
+                            kz: int, y_flat_cap: int = 0,
+                            raw_u8: bool = False):
+        from ..coding import analytic_rans as ar
+        from ..coding import device_rans as dr
+
+        module = self.module
+        y_shape = (zh * 4, zw * 4)
+
+        def fn(v, packed, e_cdf, e_len, e_off, e_inv, e_packed, med):
+            # parse the single-container stream (see _analytic_encode_fn)
+            y_counts = (packed[1 : 1 + k].astype(jnp.int32)
+                        | (packed[1 + k : 1 + 2 * k].astype(jnp.int32) << 16))
+            o = 1 + 2 * k
+            z_counts = (packed[o : o + kz].astype(jnp.int32)
+                        | (packed[o + kz : o + 2 * kz].astype(jnp.int32) << 16))
+            o += 2 * kz
+            y_words = packed[o : o + y_flat_cap]
+            z_words = packed[o + y_flat_cap :]
+            y_off = ar.lane_offsets(y_counts)
+            z_off = ar.lane_offsets(z_counts)
+            zc = e_cdf.shape[0]
+            n_z = b * zh * zw * zc
+            z_idx = jnp.broadcast_to(
+                jnp.arange(zc, dtype=jnp.int32), (b, zh, zw, zc)
+            ).reshape(-1)
+            z_syms = dr.decode_interleaved(
+                z_words, z_counts, z_idx, e_cdf, e_len, e_off, n=n_z, k=kz,
+                inverse=e_inv, packed=e_packed, lane_offsets=z_off,
+            )
+            z_hat = (
+                z_syms.astype(jnp.float32).reshape(b, zh, zw, zc)
+                + med[None, None, None, :]
+            )
+            latent_means, latent_scales = module.apply(
+                v, z_hat, lv, method=ChannelARModule.hyper_synthesis
+            )
+            carry = dr.decoder_init(y_words, y_counts, offsets=y_off)
+            y_hat_slices = []
+            for i in range(module.num_slices):
+                mu, sigma, mean_support = module.apply(
+                    v, i, latent_means, latent_scales, list(y_hat_slices),
+                    y_shape, method=ChannelARModule.decode_slice_params_sigma,
+                )
+                p = ar.coder_params(sigma)
+                carry, vals = ar.decode_gaussian_segment(
+                    carry, y_words,
+                    {kk: vv.reshape(-1) for kk, vv in p.items()}, k=k,
+                    offsets=y_off,
+                )
+                sym = vals.reshape(sigma.shape).astype(jnp.int16)
+                y_hat_slices.append(
+                    module.apply(
+                        v, i, mean_support, sym, mu,
+                        method=ChannelARModule.decode_slice_dequant_finish,
+                    )
+                )
+            y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+            if raw_u8:
+                return module.apply(
+                    v, y_hat, lv, method=ChannelARModule.synthesize_raw_u8
+                )
+            return module.apply(
+                v, y_hat, lv, method=ChannelARModule.synthesize
+            )
+
+        return fn
+
+    def compress_device_analytic(self, x, lv: int = 0, k: int = 1024,
+                                 cap: int | None = None) -> dict:
+        """Table-free fully-device encode as ONE XLA program.
+
+        x: NHWC [B,H,W,3] or packed RGB rows [B,H,3W] (preferred for
+        serving: uploads dense and skips the lane-padded image layout)."""
+        assert self.eb_tables is not None, "call update() first"
+        b = x.shape[0]
+        if x.ndim == 4:
+            H, W = x.shape[1], x.shape[2]
+            x = x.reshape(b, H, W * 3)
+        else:
+            H, W = x.shape[1], x.shape[2] // 3
+        y_shape = (H // 16, W // 16)
+        n_slice = y_shape[0] * y_shape[1] * (self.module.M // self.module.num_slices)
+        n_total = b * self.module.num_slices * n_slice
+        assert n_total % k == 0, (b, n_slice, k)
+        if cap is None:
+            cap = max(64, n_total // k)
+
+        (_, et_all) = self._device_tables(lv)
+        et, e_packed = et_all[:3], et_all[4]
+        med = jnp.asarray(self._eb_medians())
+        zh, zw = H // 64, W // 64
+        zc = int(et[0].shape[0])
+        n_z = b * zh * zw * zc
+        kz = math_gcd_pow2(n_z, k)
+        z_cap = max(64, n_z // max(k // 4, 1))
+
+        x = self._maybe_shard(x)
+        # transfer budget: ~4 bits/symbol flat stream (trained models code
+        # 1-3 bits/sym); the padded per-lane buffer keeps the generous
+        # 16 bits/sym budget device-side to absorb lane skew
+        y_flat_cap = max(4 * k, n_total // 4)
+        z_flat_cap = max(4 * kz, n_z // 2)
+        for _attempt in range(4):
+            fn = self._jit(
+                f"aenc_{lv}_{b}_{y_shape}_{k}_{cap}_{y_flat_cap}",
+                self._analytic_encode_fn(lv, b, y_shape, k, cap, kz, z_cap,
+                                         y_flat_cap, z_flat_cap),
+            )
+            packed = np.asarray(fn(self.variables, x, *et, e_packed, med))
+            if packed[0] == 0:
+                break
+            cap *= 2
+            z_cap *= 2
+            y_flat_cap *= 4
+            z_flat_cap *= 2
+        if packed[0] != 0:
+            raise RuntimeError("device-coder cap overflow; raise `cap`")
+        yc = (packed[1 : 1 + k].astype(np.int64)
+              | (packed[1 + k : 1 + 2 * k].astype(np.int64) << 16))
+        o = 1 + 2 * k
+        zc = (packed[o : o + kz].astype(np.int64)
+              | (packed[o + kz : o + 2 * kz].astype(np.int64) << 16))
+        return {
+            "packed": packed,
+            "shape": (zh, zw),
+            "k": k,
+            "kz": kz,
+            "y_flat_cap": y_flat_cap,
+            "z_flat_cap": z_flat_cap,
+            "batch": b,
+            "coder": "analytic",
+            "nbytes": int(yc.sum() + zc.sum()) * 2,
+        }
+
+    def decompress_device_analytic(self, enc: dict, lv: int = 0,
+                                   raw_u8: bool = False) -> dict:
+        """Table-free fully-device decode as ONE XLA program.
+
+        raw_u8=True returns {"rgb_raw": uint8 [B, H/2, W/2, 12]} — the
+        pre-depth-to-space pixels; finish with `unshuffle_u8` on the host.
+        Quarter the transfer bytes and no lane-padded image tensor."""
+        (_, et_all) = self._device_tables(lv)
+        et, e_inv, e_packed = et_all[:3], et_all[3], et_all[4]
+        k = enc["k"]
+        kz = enc["kz"]
+        zh, zw = enc["shape"]
+        b = enc.get("batch", 1)
+        y_flat_cap = enc["y_flat_cap"]
+        med = jnp.asarray(self._eb_medians())
+
+        packed = jnp.asarray(enc["packed"])  # single H2D upload
+
+        fn = self._jit(
+            f"adec_{lv}_{b}_{zh}_{zw}_{k}_{kz}_{packed.shape}_{raw_u8}",
+            self._analytic_decode_fn(lv, b, zh, zw, k, kz, y_flat_cap,
+                                     raw_u8),
+        )
+        out = fn(self.variables, packed, *et, e_inv, e_packed, med)
+        return {"rgb_raw": out} if raw_u8 else {"x_hat": out}
+
+    def roundtrip_device_pipelined(self, batches, lv: int = 0,
+                                   k: int = 1024) -> list:
+        """Encode+decode a stream of batches through the fused device
+        programs, overlapping host-side stream handling with device compute
+        (JAX async dispatch pipelines consecutive batches)."""
+        encs = [self.compress_device_fused(x, lv, k=k) for x in batches]
+        return [
+            {"enc": e, "x_hat": self.decompress_device_fused(e, lv)["x_hat"]}
+            for e in encs
+        ]
+
+
+def unshuffle_u8(raw: np.ndarray, r: int = 2) -> np.ndarray:
+    """Host-side depth-to-space for decompress_device_analytic(raw_u8=True):
+    uint8 [B, H/r, W/r, 3 r^2] (torch PixelShuffle channel order
+    c*r^2 + i*r + j) -> uint8 [B, H, W, 3]."""
+    b, h, w, crr = raw.shape
+    c = crr // (r * r)
+    x = raw.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return np.ascontiguousarray(x.reshape(b, h * r, w * r, c))
 
 
 def math_gcd_pow2(n: int, k: int) -> int:

@@ -62,6 +62,93 @@ def torch_deconv_kernel_init(features: int, kernel_size: int) -> Callable:
     return init
 
 
+class _PatchDotConv(nn.Module):
+    """Small-Cin conv as strided-slice patch extraction + one matmul.
+
+    XLA's TPU convolution lowering is pathological for tiny input channel
+    counts (the image-input layers: ~0.1 TFLOP/s, 80 ms for g_a's first
+    conv alone — artifacts/profile_rbws.py), regardless of stride. The same
+    math as k*k strided slices concatenated into a [B,Ho,Wo,k^2*Cin] patch
+    tensor contracted against the flattened kernel runs as a clean MXU
+    matmul. Parameter stays the canonical [k,k,Cin,Cout] HWIO kernel
+    (checkpoint-converter compatible); results match the conv lowering to
+    accumulation-order ulps."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k, s = self.kernel_size, self.stride
+        packed = x.ndim == 3  # [B, H, W*3] packed RGB rows (see Conv)
+        cin = 3 if packed else x.shape[-1]
+        w = self.param(
+            "kernel", torch_kernel_init, (k, k, cin, self.features)
+        )
+        bias = (
+            self.param(
+                "bias", torch_bias_init(cin * k * k), (self.features,)
+            )
+            if self.use_bias else None
+        )
+        p = k // 2
+        if packed:
+            b, h, w3 = x.shape
+            wd = w3 // 3
+            ho = (h + 2 * p - k) // s + 1
+            wo = (wd + 2 * p - k) // s + 1
+            # de-interleave channels as rank-3 strided slices: every tensor
+            # stays dense-tiled ([.., W] minor), never materializing a
+            # lane-padded [..,3] array
+            chans = [
+                jnp.pad(
+                    jax.lax.slice(x, (0, 0, c), (b, h, w3), (1, 1, 3)),
+                    ((0, 0), (p, p), (p, p)),
+                )
+                for c in range(3)
+            ]
+            pats = [
+                jax.lax.slice(
+                    chans[c], (0, a, bb),
+                    (b, a + (ho - 1) * s + 1, bb + (wo - 1) * s + 1),
+                    (1, s, s),
+                )
+                for a in range(k)
+                for bb in range(k)
+                for c in range(3)
+            ]
+            patches = jnp.stack(pats, axis=-1)  # (a, b, c) order
+        else:
+            b, h, wd, _ = x.shape
+            ho = (h + 2 * p - k) // s + 1
+            wo = (wd + 2 * p - k) // s + 1
+            xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+            patches = jnp.concatenate(
+                [
+                    jax.lax.slice(
+                        xp,
+                        (0, a, bb, 0),
+                        (b, a + (ho - 1) * s + 1, bb + (wo - 1) * s + 1, cin),
+                        (1, s, s, 1),
+                    )
+                    for a in range(k)
+                    for bb in range(k)
+                ],
+                axis=-1,
+            )
+        kf = w.reshape(k * k * cin, self.features)
+        if self.dtype is not None:
+            patches = patches.astype(self.dtype)
+            kf = kf.astype(self.dtype)
+        out = jnp.einsum("bhwc,cf->bhwf", patches, kf)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
+
+
 class Conv(nn.Module):
     """Conv2d with torch-style symmetric padding k//2 (reference
     models/reference/utils.py:117-124)."""
@@ -74,6 +161,18 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if x.ndim == 3 or (
+            self.kernel_size > 1
+            and x.shape[-1] * self.kernel_size ** 2 <= 512
+        ):
+            # rank-3 input = [B, H, W*3] packed RGB rows: the image-layer
+            # fast path that avoids lane-padded C=3 tensors entirely (an
+            # elementwise op on [8,768,512,3] costs ~26 ms on v5e because
+            # the minor dim pads 3 -> 128 lanes; packed it is free).
+            return _PatchDotConv(
+                self.features, self.kernel_size, self.stride,
+                self.use_bias, self.dtype, name="conv",
+            )(x)
         p = self.kernel_size // 2
         fan_in = x.shape[-1] * self.kernel_size * self.kernel_size
         return nn.Conv(
@@ -163,8 +262,13 @@ class SubpelConv3x3(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, shuffle: bool = True):
         x = Conv(self.features * self.r**2, kernel_size=3, dtype=self.dtype, name="conv")(x)
+        if not shuffle:
+            # pre-shuffle output (torch channel order c*r^2 + i*r + j) for
+            # callers that do the depth-to-space on the host — materializing
+            # a lane-padded [B,H,W,3] image on TPU costs ~26 ms (see Conv)
+            return x
         return PixelShuffle(self.r)(x)
 
 

@@ -102,6 +102,22 @@ def fused_attention_enabled() -> bool:
     return _FUSED_ATTENTION["enabled"]
 
 
+def _score_dtype():
+    """Attention-score storage dtype, decided at trace time.
+
+    Under matmul_precision="bfloat16" (the serving/throughput mode, see
+    ChannelARCodec.set_matmul_precision) the [.., heads, w^2, w^2] score
+    tensors are stored in bfloat16: at stage-0 resolution they are the
+    dominant HBM traffic of the whole transform (3.2 GB fp32 for
+    8x768x512), and the matmuls feeding them are already single-pass bf16.
+    Parity mode (default) keeps fp32."""
+    try:
+        prec = jax.config.jax_default_matmul_precision
+    except AttributeError:
+        prec = None
+    return jnp.bfloat16 if prec == "bfloat16" else None
+
+
 class WMSA(nn.Module):
     """Window multi-head self-attention of the TCM ConvTransBlock
     (reference tcm.py:139-212). type 'SW' applies a cyclic shift of w//2.
@@ -166,10 +182,19 @@ class WMSA(nn.Module):
             )
             out = out.reshape(b, windows.shape[1], w * w, c)
         else:
+            sd = _score_dtype()
+            in_dtype = windows.dtype
+            if sd is not None:
+                # run the whole attention body in bf16: qkv/proj matmuls are
+                # single-pass MXU anyway and the intermediate tensors are the
+                # block's dominant HBM traffic
+                windows = windows.astype(sd)
             qkv = self.embedding_layer(windows)
             qkv = qkv.reshape(b, windows.shape[1], w * w, 3, n_heads, self.head_dim)
             q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-            sim = jnp.einsum("bwphc,bwqhc->bwhpq", q, k) * scale
+            sim = jnp.einsum("bwphc,bwqhc->bwhpq", q, k) * jnp.asarray(
+                scale, q.dtype
+            )
             sim = sim + bias[None, None].astype(sim.dtype)
             if self.type != "W":
                 mask = shift_window_mask(h // w, wd // w, w, shift=w // 2)
@@ -181,7 +206,7 @@ class WMSA(nn.Module):
             probs = jax.nn.softmax(sim, axis=-1)
             out = jnp.einsum("bwhpq,bwqhc->bwphc", probs, v)
             out = out.reshape(b, windows.shape[1], w * w, self.dim)
-            out = self.linear(out)
+            out = self.linear(out).astype(in_dtype)
 
         out = window_reverse(out, w, h, wd)
         if self.type != "W":
@@ -203,10 +228,13 @@ class SwinTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         dp = DropPath(self.drop_path)
+        sd = _score_dtype()
         y = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
         y = WMSA(self.dim, self.head_dim, self.window_size, self.type, self.dtype, name="msa")(y)
         x = x + dp(y, deterministic)
         y = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
+        if sd is not None:
+            y = y.astype(sd)  # bf16 MLP under the throughput precision mode
         y = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp1",
                      kernel_init=torch_kernel_init,
                      bias_init=torch_bias_init(self.dim))(y)
@@ -214,7 +242,7 @@ class SwinTransformerBlock(nn.Module):
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp2",
                      kernel_init=torch_kernel_init,
                      bias_init=torch_bias_init(4 * self.dim))(y)
-        return x + dp(y, deterministic)
+        return x + dp(y, deterministic).astype(x.dtype)
 
 
 class SwinBlock(nn.Module):
@@ -277,6 +305,9 @@ class WindowAttention(nn.Module):
                        bias_init=torch_bias_init(self.dim))(x)
         qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
+        sd = _score_dtype()
+        if sd is not None:
+            q, k, v = q.astype(sd), k.astype(sd), v.astype(sd)
         attn = jnp.einsum("bhnc,bhmc->bhnm", q, k)
 
         idx = relative_position_index(w)
@@ -291,7 +322,7 @@ class WindowAttention(nn.Module):
 
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bhmc->bhnc", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c).astype(x.dtype)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj",
                         kernel_init=torch_kernel_init,
                         bias_init=torch_bias_init(self.dim))(out)
