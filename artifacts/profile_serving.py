@@ -18,15 +18,19 @@ from reslic_tcm_tpu.models.base import unshuffle_u8
 from reslic_tcm_tpu.models.tcm import make_tcm
 
 N, M = 128, 320
-B, H, W = 8, 768, 512
+B, H, W = int(os.environ.get("B", "8")), 768, 512
 MP = B * H * W / 1e6
 K = int(os.environ.get("K", "4096"))
-NBATCH = 3
+NBATCH = int(os.environ.get("NBATCH", "3"))
 
 print(f"# device: {jax.devices()[0]} K={K}", file=sys.stderr)
 t0 = time.time()
 codec = make_tcm(N=N, M=M, rng=jax.random.PRNGKey(0), fast_init=True)
 codec.set_matmul_precision("bfloat16")
+if os.environ.get("FUSED", "1") == "1":
+    from reslic_tcm_tpu.ops.window_attention import enable_fused_attention
+    enable_fused_attention(True)
+    print("# fused attention ON", file=sys.stderr)
 
 params = jax.tree_util.tree_map(lambda x: x, codec.params)
 last_ga = sorted(params["g_a"].keys(), key=lambda s: int(s.split("_")[1]))[-1]
@@ -94,14 +98,9 @@ xs = [packed_batch(100 + j * B) for j in range(NBATCH)]
 
 def run_pipe():
     t0 = time.perf_counter()
-    encs = [codec.compress_device_analytic(xx, k=K) for xx in xs]
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        raws = list(pool.map(
-            lambda e: np.asarray(
-                codec.decompress_device_analytic(e, raw_u8=True)["rgb_raw"]
-            ), encs))
+    outs = codec.serve_roundtrip_pipelined(xs, k=K)
     dt = time.perf_counter() - t0
-    return dt, raws
+    return dt, outs
 
 
 run_pipe()

@@ -72,10 +72,9 @@ def main(argv=None):
         # enc/dec share executables so bit-identity is unaffected.
         codec.set_matmul_precision("bfloat16")
     print(f"# init {time.time()-t0:.0f}s", file=sys.stderr)
-    # XLA's composed window attention is faster than the current Pallas
-    # kernel on this Mosaic version (see docs/PERFORMANCE.md); keep the
-    # fused path opt-in.
-    if args.fused_attn and dev.platform != "cpu":
+    # Flash window-attention kernel (ops/flash_window_attn.py): 2x the
+    # composed XLA Swin block; on by default in throughput mode.
+    if (args.fused_attn or not args.fp32) and dev.platform != "cpu":
         enable_fused_attention(True)
 
     # Random init produces absurd-entropy latents; scale the latent-producing
@@ -222,6 +221,7 @@ def main(argv=None):
         from reslic_tcm_tpu.models.base import unshuffle_u8
 
         ksrv = 4096
+        n_srv = max(args.stream, 1) * 2  # deeper queue -> steadier pipeline
         xs_p = [
             jnp.asarray(
                 np.concatenate(
@@ -229,37 +229,27 @@ def main(argv=None):
                     0,
                 ).reshape(args.batch, args.height, args.width * 3)
             )
-            for j in range(max(args.stream, 1))
+            for j in range(n_srv)
         ]
 
         def run_serving():
             t0 = time.perf_counter()
-            encs_v = [codec.compress_device_analytic(xx, k=ksrv) for xx in xs_p]
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                raws = list(
-                    pool.map(
-                        lambda e: np.asarray(
-                            codec.decompress_device_analytic(e, raw_u8=True)[
-                                "rgb_raw"
-                            ]
-                        ),
-                        encs_v,
-                    )
-                )
+            outs = codec.serve_roundtrip_pipelined(xs_p, k=ksrv)
             dt = time.perf_counter() - t0
-            return dt, encs_v, raws
+            return dt, outs
 
         run_serving()  # warm/compile
-        best_dt, encs_v, raws = run_serving()
+        best_dt, outs_v = run_serving()
         for _ in range(max(args.iters - 1, 1)):
-            dt, encs_v, raws = run_serving()
+            dt, outs_v = run_serving()
             best_dt = min(best_dt, dt)
-        unshuffle_u8(raws[0])  # exercised for parity with real serving
-        srv_mp = len(xs_p) * args.batch * args.height * args.width / 1e6
+        encs_v = [o["enc"] for o in outs_v]
+        unshuffle_u8(outs_v[0]["rgb_raw"])  # exercised as in real serving
+        srv_mp = n_srv * args.batch * args.height * args.width / 1e6
         serving_mps = srv_mp / best_dt
         srv_bpp = sum(e["nbytes"] for e in encs_v) * 8 / (srv_mp * 1e6)
         print(
-            f"# serving profile ({len(xs_p)}x B={args.batch}, analytic "
+            f"# serving profile ({n_srv}x B={args.batch}, analytic "
             f"device coder): {best_dt*1000:.0f}ms -> {serving_mps:.2f} MP/s "
             f"(bpp={srv_bpp:.3f})",
             file=sys.stderr,

@@ -220,6 +220,135 @@ def lane_offsets(counts):
     return (jnp.cumsum(counts) - counts).astype(jnp.int32)
 
 
+# -------------------- streamed-read (grouped) layout --------------------
+# The per-lane ragged layout forces a RANDOM words-gather every decode step
+# (~55 us per 4096-lane step — the decode scan's dominant cost). But the
+# renorm pattern is mirrored between encoder and decoder, so the encoder
+# can store words in EXACT decode-read order (grouped by symbol step, lane
+# ascending within a group). The decoder then keeps ONE global stream
+# pointer: each step reads a contiguous [k] dynamic slice and distributes
+# words to renormalizing lanes by prefix-sum rank — a tiny in-register
+# gather instead of an HBM random access.
+
+
+def encode_gaussian_grouped(symbols, params, k: int = 1024,
+                            cap: int | None = None):
+    """Encode with the grouped stream layout.
+
+    Returns (header uint16 [k, 2] — final lane states lo|hi,
+             flat uint16 [cap] — words in decode-read order,
+             total int32 — words actually used,
+             overflow bool)."""
+    jnp = _jnp()
+    import jax
+
+    n = symbols.shape[0]
+    assert n % k == 0, (n, k)
+    steps = n // k
+    if cap is None:
+        cap = steps * k  # absolute worst case: one word per symbol
+
+    sym_g = symbols.reshape(steps, k)
+    par_g = {kk: v.reshape(steps, k) for kk, v in params.items()}
+
+    def step_fn(x, inp):
+        sym, p = inp
+        s = (sym + p["c"]).astype(jnp.int32)
+        start = _boundary(s, p)
+        freq = _boundary(s + 1, p) - start
+        need = x >= (freq << 16)
+        w_out = (x & MASK16).astype(jnp.uint16)
+        x = jnp.where(need, x >> 16, x)
+        q = (x.astype(jnp.float32) / freq.astype(jnp.float32)).astype(jnp.uint32)
+        r = (x - q * freq).astype(jnp.int32)
+        fi = freq.astype(jnp.int32)
+        for _ in range(2):
+            neg = r < 0
+            q = jnp.where(neg, q - 1, q)
+            r = jnp.where(neg, r + fi, r)
+            ge = r >= fi
+            q = jnp.where(ge, q + 1, q)
+            r = jnp.where(ge, r - fi, r)
+        x = (q << 16) | (r.astype(jnp.uint32) + start)
+        return x, (w_out, need)
+
+    x0 = jnp.full((k,), RANS_L, jnp.uint32)
+    rev = lambda t: t[::-1]  # noqa: E731
+    x, (ws, needs) = jax.lax.scan(
+        step_fn, x0, (rev(sym_g), {kk: rev(v) for kk, v in par_g.items()})
+    )
+
+    # decode-read order: groups t = S-1-s_enc (so reverse rows back), lane
+    # ascending within a group
+    ws_d = ws[::-1]
+    needs_d = needs[::-1].astype(jnp.int32)
+    flatn = needs_d.reshape(-1)
+    pos = jnp.cumsum(flatn) - flatn
+    total = jnp.sum(flatn)
+    dst = jnp.where(flatn > 0, jnp.minimum(pos, cap), cap)
+    flat = jnp.zeros((cap + 1,), jnp.uint16)
+    flat = flat.at[dst].set(ws_d.reshape(-1))
+    header = jnp.stack(
+        [(x & MASK16).astype(jnp.uint16), (x >> 16).astype(jnp.uint16)],
+        axis=-1,
+    )
+    overflow = total > cap
+    return header, flat[:cap], total.astype(jnp.int32), overflow
+
+
+def decode_gaussian_grouped_init(header):
+    jnp = _jnp()
+
+    x = (header[:, 1].astype(jnp.uint32) << 16) | header[:, 0].astype(
+        jnp.uint32
+    )
+    return (x, jnp.zeros((), jnp.int32))
+
+
+def decode_gaussian_grouped_segment(carry, flat, params, k: int):
+    """Decode len(params) symbols chaining (states, stream pointer).
+    `flat` must be padded with >= k trailing zeros (the contiguous window
+    read may overrun at stream end)."""
+    jnp = _jnp()
+    import jax
+
+    n = params["c"].shape[0]
+    steps = n // k
+    par_g = {kk: v.reshape(steps, k) for kk, v in params.items()}
+
+    def step_fn(carry, p):
+        x, g = carry
+        cf = (x & MASK16).astype(jnp.uint32)
+        lo = jnp.zeros((k,), jnp.int32)
+        hi = p["nb"] - 1
+        for _ in range(SEARCH_ITERS):
+            mid = (lo + hi + 1) >> 1
+            go_right = _boundary(mid, p) <= cf
+            lo = jnp.where(go_right, mid, lo)
+            hi = jnp.where(go_right, hi, mid - 1)
+        s = lo
+        start = _boundary(s, p)
+        freq = _boundary(s + 1, p) - start
+
+        x = freq * (x >> 16) + cf - start
+        need = (x < RANS_L).astype(jnp.int32)
+        rank = jnp.cumsum(need) - need
+        window = jax.lax.dynamic_slice(flat, (g,), (k,)).astype(jnp.uint32)
+        w = window[rank]
+        x = jnp.where(need > 0, (x << 16) | w, x)
+        g = g + jnp.sum(need)
+        return (x, g), (s - p["c"]).astype(jnp.int32)
+
+    carry, vals = jax.lax.scan(step_fn, carry, par_g)
+    return carry, vals.reshape(-1)
+
+
+def decode_gaussian_grouped(header, flat, params, k: int):
+    carry = decode_gaussian_grouped_init(header)
+    _, vals = decode_gaussian_grouped_segment(carry, flat, params, k)
+    return vals
+
+
 # ------------------------------ decode scan ------------------------------
 
 

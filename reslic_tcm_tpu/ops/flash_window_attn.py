@@ -1,0 +1,262 @@
+"""Flash-style fused window attention (Pallas, TPU).
+
+Fuses LN -> qkv -> per-head window attention (+rel-pos bias, +shift mask)
+-> proj -> residual into ONE kernel, one grid step per 8x8 window. The
+attention-score tensors never touch HBM — at stage-0 resolution they are
+3.2 GB fp32 per pass and make the composed XLA SwinBlock HBM-bound
+(~52 ms; docs/PERFORMANCE.md).
+
+The per-head contraction uses a block-diagonal trick instead of 16 tiny
+[64,8]x[8,64] matmuls (which underutilize the MXU ~99% and made the
+previous per-head Pallas attempt LOSE to XLA): q is tiled across sublanes
+once per head and masked to its head's columns,
+
+    Qt[h*64+p, c] = q[p, c] * (c // head_dim == h)
+
+so ALL heads' scores come from ONE full-width MXU matmul
+    scores[h*64+p, q] = sum_c Qt[hp, c] * k[q, c]
+and the PV product likewise. ~2x redundant FLOPs, but full MXU occupancy
+— redundancy is free next to tiny-dot overhead.
+
+Window partition/reverse transposes are absorbed by the BlockSpec index
+map ([1, w, w, C] blocks of the NHWC feature map); cyclic shifts for the
+'SW' flavor stay outside (jnp.roll), with the standard boundary masks
+generated in-kernel from program ids (iota compare, branch-free).
+
+Matches WMSA (window_attention.py) numerically; used by SwinTransformerBlock
+when enable_fused_attention() is on. Reference semantics:
+reference models/reference/tcm.py:139-236 (WMSA/Block).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _erf_poly(x):
+    """Abramowitz-Stegun 7.1.26 erf approximation (|err| < 1.5e-7)."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    y = 1.0 - (((((a5 * t + a4) * t) + a3) * t + a2) * t + a1) * t * jnp.exp(
+        -ax * ax
+    )
+    return s * y
+
+
+def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, lns_ref,
+            lnb_ref, bias_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
+            b2_ref, o_ref, *, C, hd, w, shifted, nwh, nww, compute_dtype,
+            with_mlp):
+    H = C // hd
+    T = w * w  # tokens per window
+    xw = x_ref[:].reshape(T, C)
+
+    # LayerNorm (fp32 stats)
+    xf = xw.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    ln = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+    ln = ln * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+
+    cd = compute_dtype
+    qkv = (
+        jax.lax.dot_general(
+            ln.astype(cd), wqkv_ref[:].astype(cd), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bqkv_ref[:].astype(jnp.float32)
+    )
+    scale = jnp.float32(hd) ** -0.5
+    q = qkv[:, :C] * scale
+    k = qkv[:, C : 2 * C]
+    v = qkv[:, 2 * C :]
+
+    # block-diagonal head mask [H*T, C]: row block h keeps columns of head h
+    rows_h = jax.lax.broadcasted_iota(jnp.int32, (H * T, C), 0) // T
+    cols_h = jax.lax.broadcasted_iota(jnp.int32, (H * T, C), 1) // hd
+    head_mask = (rows_h == cols_h).astype(jnp.float32)
+
+    qt = jnp.concatenate([q] * H, axis=0) * head_mask  # [H*T, C]
+    scores = jax.lax.dot_general(
+        qt.astype(cd), k.astype(cd), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [H*T, T] rows (h, p), lanes q
+    scores = scores + bias_ref[:].astype(jnp.float32)
+
+    if shifted:
+        # standard swin boundary masks, built from iota + program ids
+        p_tok = jax.lax.broadcasted_iota(jnp.int32, (H * T, T), 0) % T
+        q_tok = jax.lax.broadcasted_iota(jnp.int32, (H * T, T), 1)
+        s = w // 2
+        p_r, q_r = p_tok // w, q_tok // w
+        p_c, q_c = p_tok % w, q_tok % w
+        blocked_r = (p_r < s) != (q_r < s)
+        blocked_c = (p_c < s) != (q_c < s)
+        is_last_i = (pl.program_id(1) == nwh - 1).astype(jnp.float32)
+        is_last_j = (pl.program_id(2) == nww - 1).astype(jnp.float32)
+        pen = (
+            blocked_r.astype(jnp.float32) * is_last_i
+            + blocked_c.astype(jnp.float32) * is_last_j
+        )
+        scores = scores + pen * NEG_INF
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    outf = jax.lax.dot_general(
+        probs.astype(cd), v.astype(cd), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [H*T, C]
+    outf = outf * head_mask
+    out = outf[:T]
+    for h in range(1, H):
+        out = out + outf[h * T : (h + 1) * T]
+
+    y = (
+        jax.lax.dot_general(
+            out.astype(cd), wproj_ref[:].astype(cd), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bproj_ref[:].astype(jnp.float32)
+    )
+    res = xw.astype(jnp.float32) + y
+
+    if with_mlp:
+        # LN2 -> Dense(4C) -> GELU -> Dense(C) -> +res (Block, tcm.py:214)
+        mu2 = jnp.mean(res, axis=-1, keepdims=True)
+        var2 = jnp.mean((res - mu2) ** 2, axis=-1, keepdims=True)
+        ln2 = (res - mu2) * jax.lax.rsqrt(var2 + 1e-5)
+        ln2 = ln2 * ln2s_ref[:].astype(jnp.float32) + ln2b_ref[:].astype(
+            jnp.float32
+        )
+        hmid = (
+            jax.lax.dot_general(
+                ln2.astype(cd), w1_ref[:].astype(cd), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b1_ref[:].astype(jnp.float32)
+        )
+        # GELU via a polynomial erf (Mosaic has no erf/erfc primitive):
+        # Abramowitz-Stegun 7.1.26, |err| < 1.5e-7 — well under bf16 ulp.
+        hmid = 0.5 * hmid * (1.0 + _erf_poly(
+            hmid * np.float32(0.7071067811865476)
+        ))
+        res = res + (
+            jax.lax.dot_general(
+                hmid.astype(cd), w2_ref[:].astype(cd), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b2_ref[:].astype(jnp.float32)
+        )
+
+    o_ref[:] = res.astype(x_ref.dtype).reshape(1, w, w, C)
+
+
+def flash_window_block(x, wqkv, bqkv, wproj, bproj, ln_scale, ln_bias,
+                       rel_bias, mlp=None, *, head_dim, window, shifted,
+                       compute_dtype=jnp.bfloat16, interpret=False):
+    """x: NHWC [B, H, W, C] (H, W divisible by window; pre-roll for SW).
+    rel_bias: [n_heads, w*w, w*w]. Returns x + proj(attn(LN(x))), and with
+    mlp=(ln2_s, ln2_b, w1, b1, w2, b2) the full Swin sub-block including
+    the LN2/MLP residual branch. One grid step per window; everything
+    VMEM-resident."""
+    b, hgt, wid, C = x.shape
+    w = window
+    assert hgt % w == 0 and wid % w == 0, (hgt, wid, w)
+    nwh, nww = hgt // w, wid // w
+    H = C // head_dim
+    T = w * w
+
+    bias_s = rel_bias.reshape(H * T, T).astype(jnp.float32)
+    with_mlp = mlp is not None
+    if with_mlp:
+        ln2s, ln2b, w1, b1, w2, b2 = mlp
+    else:
+        ln2s = ln2b = jnp.zeros((C,), jnp.float32)
+        w1 = jnp.zeros((C, 8), jnp.float32)
+        b1 = jnp.zeros((8,), jnp.float32)
+        w2 = jnp.zeros((8, C), jnp.float32)
+        b2 = jnp.zeros((C,), jnp.float32)
+    hid = w1.shape[1]
+
+    kern = partial(
+        _kernel, C=C, hd=head_dim, w=w, shifted=shifted, nwh=nwh, nww=nww,
+        compute_dtype=compute_dtype, with_mlp=with_mlp,
+    )
+    const = lambda *_: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b, nwh, nww),
+        in_specs=[
+            pl.BlockSpec((1, w, w, C), lambda i, j, kk: (i, j, kk, 0)),
+            pl.BlockSpec((C, 3 * C), lambda *_: (0, 0)),
+            pl.BlockSpec((1, 3 * C), lambda *_: (0, 0)),
+            pl.BlockSpec((C, C), const),
+            pl.BlockSpec((1, C), const),
+            pl.BlockSpec((1, C), const),
+            pl.BlockSpec((1, C), const),
+            pl.BlockSpec((H * T, T), const),
+            pl.BlockSpec((1, C), const),
+            pl.BlockSpec((1, C), const),
+            pl.BlockSpec((C, hid), const),
+            pl.BlockSpec((1, hid), const),
+            pl.BlockSpec((hid, C), const),
+            pl.BlockSpec((1, C), const),
+        ],
+        out_specs=pl.BlockSpec((1, w, w, C), lambda i, j, kk: (i, j, kk, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(
+        x,
+        wqkv,
+        bqkv.reshape(1, -1),
+        wproj,
+        bproj.reshape(1, -1),
+        ln_scale.reshape(1, -1),
+        ln_bias.reshape(1, -1),
+        bias_s,
+        ln2s.reshape(1, -1),
+        ln2b.reshape(1, -1),
+        w1,
+        b1.reshape(1, -1),
+        w2,
+        b2.reshape(1, -1),
+    )
+
+
+def reference_window_block(x, wqkv, bqkv, wproj, bproj, ln_scale, ln_bias,
+                           rel_bias, *, head_dim, window, shifted):
+    """Composed-XLA reference of the same fused computation (for tests)."""
+    from .window_attention import shift_window_mask, window_partition, window_reverse
+
+    b, hgt, wid, C = x.shape
+    w = window
+    H = C // head_dim
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    ln = (x - mu) * jax.lax.rsqrt(var + 1e-5) * ln_scale + ln_bias
+    windows = window_partition(ln, w)
+    qkv = windows @ wqkv + bqkv
+    qkv = qkv.reshape(b, -1, w * w, 3, H, head_dim)
+    q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+    sim = jnp.einsum("bwphc,bwqhc->bwhpq", q, k) * head_dim**-0.5
+    sim = sim + rel_bias[None, None]
+    if shifted:
+        m = shift_window_mask(hgt // w, wid // w, w, shift=w // 2)
+        sim = jnp.where(jnp.asarray(m)[None, :, None], NEG_INF + sim, sim)
+    probs = jax.nn.softmax(sim, axis=-1)
+    out = jnp.einsum("bwhpq,bwqhc->bwphc", probs, v)
+    out = out.reshape(b, -1, w * w, C) @ wproj + bproj
+    return x + window_reverse(out, w, hgt, wid)

@@ -163,50 +163,31 @@ class WMSA(nn.Module):
         windows = window_partition(x, w)  # [b, nW, p2, c]
         bias = self._rel_bias()
 
-        if fused_attention_enabled():
-            from .pallas_attn import fused_qkv_attention
-
-            mask = None
-            if self.type != "W":
-                m = shift_window_mask(h // w, wd // w, w, shift=w // 2)
-                mask = jnp.where(jnp.asarray(m), -jnp.inf, 0.0).astype(jnp.float32)
-                mask = jnp.tile(mask, (b, 1, 1))
-            flat = windows.reshape(-1, w * w, c)
-            out = fused_qkv_attention(
-                flat,
-                self.embedding_layer.kernel, self.embedding_layer.bias,
-                bias.astype(jnp.float32),
-                self.linear.kernel, self.linear.bias,
-                mask=mask,
-                interpret=_FUSED_ATTENTION["interpret"],
+        sd = _score_dtype()
+        in_dtype = windows.dtype
+        if sd is not None:
+            # run the whole attention body in bf16: qkv/proj matmuls are
+            # single-pass MXU anyway and the intermediate tensors are the
+            # block's dominant HBM traffic
+            windows = windows.astype(sd)
+        qkv = self.embedding_layer(windows)
+        qkv = qkv.reshape(b, windows.shape[1], w * w, 3, n_heads, self.head_dim)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        sim = jnp.einsum("bwphc,bwqhc->bwhpq", q, k) * jnp.asarray(
+            scale, q.dtype
+        )
+        sim = sim + bias[None, None].astype(sim.dtype)
+        if self.type != "W":
+            mask = shift_window_mask(h // w, wd // w, w, shift=w // 2)
+            sim = jnp.where(
+                jnp.asarray(mask)[None, :, None],
+                jnp.asarray(-jnp.inf, sim.dtype),
+                sim,
             )
-            out = out.reshape(b, windows.shape[1], w * w, c)
-        else:
-            sd = _score_dtype()
-            in_dtype = windows.dtype
-            if sd is not None:
-                # run the whole attention body in bf16: qkv/proj matmuls are
-                # single-pass MXU anyway and the intermediate tensors are the
-                # block's dominant HBM traffic
-                windows = windows.astype(sd)
-            qkv = self.embedding_layer(windows)
-            qkv = qkv.reshape(b, windows.shape[1], w * w, 3, n_heads, self.head_dim)
-            q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-            sim = jnp.einsum("bwphc,bwqhc->bwhpq", q, k) * jnp.asarray(
-                scale, q.dtype
-            )
-            sim = sim + bias[None, None].astype(sim.dtype)
-            if self.type != "W":
-                mask = shift_window_mask(h // w, wd // w, w, shift=w // 2)
-                sim = jnp.where(
-                    jnp.asarray(mask)[None, :, None],
-                    jnp.asarray(-jnp.inf, sim.dtype),
-                    sim,
-                )
-            probs = jax.nn.softmax(sim, axis=-1)
-            out = jnp.einsum("bwhpq,bwqhc->bwphc", probs, v)
-            out = out.reshape(b, windows.shape[1], w * w, self.dim)
-            out = self.linear(out).astype(in_dtype)
+        probs = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bwhpq,bwqhc->bwphc", probs, v)
+        out = out.reshape(b, windows.shape[1], w * w, self.dim)
+        out = self.linear(out).astype(in_dtype)
 
         out = window_reverse(out, w, h, wd)
         if self.type != "W":
@@ -214,9 +195,32 @@ class WMSA(nn.Module):
         return out
 
 
+class _LNParams(nn.Module):
+    """LayerNorm with setup-exposed params (paths match nn.LayerNorm) so the
+    fused kernel path can read raw scale/bias without applying the op."""
+
+    dim: int
+    epsilon: float = 1e-5
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+
+    def __call__(self, x):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        y = (x - mu) * jax.lax.rsqrt(var + self.epsilon)
+        return y * self.scale + self.bias
+
+
 class SwinTransformerBlock(nn.Module):
     """LN -> WMSA -> +res; LN -> MLP(4x, GELU) -> +res
-    (reference tcm.py:214-236, class `Block`)."""
+    (reference tcm.py:214-236, class `Block`).
+
+    With enable_fused_attention() on (and deterministic, no drop-path), the
+    ENTIRE block runs as one Pallas kernel per window
+    (ops/flash_window_attn.py) — scores and MLP intermediates never touch
+    HBM."""
 
     dim: int
     head_dim: int
@@ -225,24 +229,68 @@ class SwinTransformerBlock(nn.Module):
     type: str = "W"
     dtype: Any = None
 
-    @nn.compact
+    def setup(self):
+        self.ln1 = _LNParams(self.dim, name="ln1")
+        self.msa = WMSA(self.dim, self.head_dim, self.window_size, self.type,
+                        self.dtype, name="msa")
+        self.ln2 = _LNParams(self.dim, name="ln2")
+        self.mlp1 = _Dense(4 * self.dim, self.dim, self.dtype, name="mlp1")
+        self.mlp2 = _Dense(self.dim, 4 * self.dim, self.dtype, name="mlp2")
+        self.dp = DropPath(self.drop_path)
+
     def __call__(self, x, deterministic: bool = True):
-        dp = DropPath(self.drop_path)
+        if (
+            fused_attention_enabled()
+            and deterministic
+            and self.drop_path == 0.0
+            # Mosaic needs the block's sublane dim divisible by 8; the
+            # window-4 hyper blocks stay on the composed path (tiny anyway)
+            and (self.window_size % 8 == 0 or _FUSED_ATTENTION["interpret"])
+            and x.shape[1] % self.window_size == 0
+            and x.shape[2] % self.window_size == 0
+        ):
+            return self._fused(x)
+        dp = self.dp
         sd = _score_dtype()
-        y = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
-        y = WMSA(self.dim, self.head_dim, self.window_size, self.type, self.dtype, name="msa")(y)
+        y = self.ln1(x)
+        y = self.msa(y)
         x = x + dp(y, deterministic)
-        y = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
+        y = self.ln2(x)
         if sd is not None:
             y = y.astype(sd)  # bf16 MLP under the throughput precision mode
-        y = nn.Dense(4 * self.dim, dtype=self.dtype, name="mlp1",
-                     kernel_init=torch_kernel_init,
-                     bias_init=torch_bias_init(self.dim))(y)
+        y = self.mlp1(y)
         y = gelu(y)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp2",
-                     kernel_init=torch_kernel_init,
-                     bias_init=torch_bias_init(4 * self.dim))(y)
+        y = self.mlp2(y)
         return x + dp(y, deterministic).astype(x.dtype)
+
+    def _fused(self, x):
+        from .flash_window_attn import flash_window_block
+
+        w = self.window_size
+        shifted = self.type != "W"
+        if shifted:
+            x = jnp.roll(x, shift=(-(w // 2), -(w // 2)), axis=(1, 2))
+        sd = _score_dtype()
+        out = flash_window_block(
+            x,
+            self.msa.embedding_layer.kernel,
+            self.msa.embedding_layer.bias,
+            self.msa.linear.kernel,
+            self.msa.linear.bias,
+            self.ln1.scale,
+            self.ln1.bias,
+            self.msa._rel_bias(),
+            mlp=(self.ln2.scale, self.ln2.bias, self.mlp1.kernel,
+                 self.mlp1.bias, self.mlp2.kernel, self.mlp2.bias),
+            head_dim=self.head_dim,
+            window=w,
+            shifted=shifted,
+            compute_dtype=sd if sd is not None else jnp.float32,
+            interpret=_FUSED_ATTENTION["interpret"],
+        )
+        if shifted:
+            out = jnp.roll(out, shift=(w // 2, w // 2), axis=(1, 2))
+        return out
 
 
 class SwinBlock(nn.Module):

@@ -9,8 +9,10 @@ from reslic_tcm_tpu.ops import window_attention as W
 
 
 @pytest.mark.parametrize("typ", ["W", "SW"])
-def test_fused_wmsa_matches_composed(typ):
-    m = W.WMSA(dim=16, head_dim=8, window_size=4, type=typ)
+def test_fused_swin_transformer_block_matches_composed(typ):
+    """The flash kernel (LN+attn+proj+MLP in one pallas_call) matches the
+    composed XLA SwinTransformerBlock."""
+    m = W.SwinTransformerBlock(dim=16, head_dim=8, window_size=4, type=typ)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 12, 16)), jnp.float32)
     v = m.init(jax.random.PRNGKey(0), x)
     ref = np.asarray(m.apply(v, x))
@@ -19,7 +21,7 @@ def test_fused_wmsa_matches_composed(typ):
         got = np.asarray(m.apply(v, x))
     finally:
         W.enable_fused_attention(False)
-    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
 def test_fused_swin_block_matches(tmp_path):
