@@ -39,6 +39,13 @@ def parse_args(argv):
     parser.add_argument("--shard-spatial", type=int, default=0,
                         help="shard each image's H across this many devices "
                              "(halo-exchange sharded forward; 0 = off)")
+    parser.add_argument("--device-coder", action="store_true",
+                        help="with --real: use the analytic fused device "
+                             "coder (TPU-native serving profile; framework "
+                             "stream format) instead of the host rANS coder")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 MXU precision + flash attention "
+                             "kernels (throughput mode)")
     args = parser.parse_args(argv)
     return args
 
@@ -65,6 +72,12 @@ def main(argv=None):
         return 1
 
     net = make_tcm(N=args.N, M=320, input_shape=(256, 256))
+    if args.bf16:
+        from ..ops.window_attention import enable_fused_attention
+
+        net.set_matmul_precision("bfloat16")
+        if jax.devices()[0].platform != "cpu":
+            enable_fused_attention(True)
     if args.checkpoint:
         print("Loading", args.checkpoint)
         if args.checkpoint.endswith((".pth", ".pth.tar", ".pt")):
@@ -100,6 +113,24 @@ def main(argv=None):
         count += 1
         if args.real:
             s = time.time()
+            if args.device_coder:
+                enc = net.compress_device_analytic(x_padded)
+                dec = net.decompress_device_analytic(enc)
+                x_hat_full = np.asarray(dec["x_hat"])
+                e = time.time()
+                total_time += e - s
+                x_hat = crop_nhwc(jnp.asarray(x_hat_full), pad)
+                num_pixels = h * w
+                bpp = enc["nbytes"] * 8.0 / num_pixels
+                psnr_v = compute_psnr(x, x_hat)
+                msssim_v = -10 * math.log10(1 - float(ms_ssim(x, x_hat)))
+                print(f"Bitrate: {bpp:.3f}bpp")
+                print(f"MS-SSIM: {msssim_v:.2f}dB")
+                print(f"PSNR: {psnr_v:.2f}dB")
+                Bit_rate += bpp
+                PSNR += psnr_v
+                MS_SSIM += msssim_v
+                continue
             out_enc = net.compress(x_padded)
             out_dec = net.decompress(out_enc["strings"], out_enc["shape"])
             jax.block_until_ready(out_dec["x_hat"])

@@ -103,7 +103,10 @@ def main(argv=None):
 
     mesh = make_mesh()
     n_dev = mesh.devices.size
-    train_step = make_train_step(module, main_tx, aux_tx, loss_type)
+    train_step = make_train_step(
+        module, main_tx, aux_tx, loss_type,
+        matmul_precision="bfloat16" if getattr(args, "bf16", False) else None,
+    )
     eval_step = make_eval_step(module, loss_type)
 
     # per-level compiled steps (lv is a static model argument)

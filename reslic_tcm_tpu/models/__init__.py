@@ -124,10 +124,12 @@ def get_model(args, rng=None, input_shape=(256, 256)):
         codec = make_balle(kind, N=args.N, M=args.M, rng=rng, input_shape=input_shape)
         return codec, None, None, None, None
 
-    # default: TCM (reference models/__init__.py:111-116)
+    # default: TCM (reference models/__init__.py:111-116). remat keeps the
+    # reference training recipe (B=16 at 256^2) inside one v5e's 16 GB HBM.
     codec = make_tcm(
         N=args.N, M=320, config=(2, 2, 2, 2, 2, 2),
         head_dim=(8, 16, 32, 32, 16, 8), drop_path_rate=0.0,
         rng=rng, input_shape=input_shape,
+        remat=bool(getattr(args, "remat", True)),
     )
     return codec, None, None, None, None

@@ -129,6 +129,9 @@ class TCM(ChannelARModule):
     max_support_slices: int = 5
     hyper_ch: int = 192      # z channels (reference hardcodes 192, tcm.py:350)
     atten_inter_dim: int = 128  # SWAtten bottleneck (reference tcm.py:379)
+    remat: bool = False      # checkpoint ConvTransBlocks (training memory:
+    #                          the fp32 attention-score temps alone are
+    #                          ~6 GB at the reference recipe of B=16 256^2)
     dtype: Any = None
 
     def setup(self):
@@ -139,10 +142,13 @@ class TCM(ChannelARModule):
 
         dpr = [float(x) for x in np.linspace(0, self.drop_path_rate, sum(cfg))]
         dt = self.dtype
+        # (nn.Sequential passes only x, so `deterministic` stays its static
+        # default inside the remat wrapper)
+        CTB = nn.remat(ConvTransBlock) if self.remat else ConvTransBlock
 
         def ctb_stage(stage: int, w: int = window):
             return [
-                ConvTransBlock(
+                CTB(
                     N, N, self.head_dim[stage], w, dpr[i], "W" if not i % 2 else "SW", dt
                 )
                 for i in range(cfg[stage])
@@ -169,7 +175,7 @@ class TCM(ChannelARModule):
 
         def hyper_ctbs():
             return [
-                ConvTransBlock(N, N, 32, 4, 0.0, "W" if not i % 2 else "SW", dt)
+                CTB(N, N, 32, 4, 0.0, "W" if not i % 2 else "SW", dt)
                 for i in range(cfg[0])
             ]
 
@@ -232,6 +238,7 @@ def make_tcm(
     hyper_ch: int = 192,
     atten_inter_dim: int = 128,
     fast_init: bool = False,
+    remat: bool = False,
     dtype=None,
 ) -> ChannelARCodec:
     """Build + init a TCM codec (weights random; use the checkpoint
@@ -245,6 +252,7 @@ def make_tcm(
         num_slices=num_slices,
         hyper_ch=hyper_ch,
         atten_inter_dim=atten_inter_dim,
+        remat=remat,
         dtype=dtype,
     )
     rng = rng if rng is not None else jax.random.PRNGKey(0)

@@ -34,14 +34,24 @@ def create_train_state(params, main_tx, aux_tx) -> TrainState:
     )
 
 
-def make_train_step(module, main_tx, aux_tx, loss_type: str = "mse"):
+def make_train_step(module, main_tx, aux_tx, loss_type: str = "mse",
+                    matmul_precision: str | None = None):
     """Returns train_step(state, batch, lmbda, rng) -> (state, metrics).
 
     lmbda is a traced scalar so the multi-rate per-batch lambda draw
     (reference step.py:37) does not trigger recompilation.
+    matmul_precision="bfloat16" runs all convs/matmuls single-pass on the
+    MXU (~4x on v5e; params, grads, and optimizer state stay fp32 — the
+    standard mixed-precision recipe for LIC training).
     """
 
     def train_step(state: TrainState, batch, lmbda, rng):
+        if matmul_precision is not None:
+            with jax.default_matmul_precision(matmul_precision):
+                return _train_step_body(state, batch, lmbda, rng)
+        return _train_step_body(state, batch, lmbda, rng)
+
+    def _train_step_body(state: TrainState, batch, lmbda, rng):
         def loss_fn(params):
             out = module.apply(
                 {"params": params}, batch, training=True, rngs={"noise": rng}

@@ -56,6 +56,15 @@ def parse_args(argv):
     # framework-specific extras (not in the reference)
     parser.add_argument("--kodak", type=str, default="/scratch/dataset/kodak", help="Kodak test-set directory")
     parser.add_argument("--platform", type=str, default=None, help="Force a JAX platform (cpu/tpu)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 MXU matmul precision for the train "
+                             "step (~4x conv throughput on v5e; params and "
+                             "optimizer state stay fp32)")
+    parser.add_argument("--no-remat", dest="remat", action="store_false",
+                        default=True,
+                        help="disable gradient checkpointing of the "
+                             "ConvTransBlocks (needs >16GB HBM at the "
+                             "reference B=16 256px recipe)")
 
     args = parser.parse_args(argv)
     return args
