@@ -31,6 +31,7 @@ def parse_args(argv):
     parser.set_defaults(real=False)
     # framework extras
     parser.add_argument("--N", type=int, default=128)
+    parser.add_argument("--M", type=int, default=320)
     parser.add_argument("--platform", type=str, default=None)
     parser.add_argument("--tile", type=int, default=0,
                         help="overlap-tiled inference for high-res inputs "
@@ -71,7 +72,7 @@ def main(argv=None):
         print(f"no images under {args.data}")
         return 1
 
-    net = make_tcm(N=args.N, M=320, input_shape=(256, 256))
+    net = make_tcm(N=args.N, M=args.M, input_shape=(256, 256))
     if args.bf16:
         from ..ops.window_attention import enable_fused_attention
 

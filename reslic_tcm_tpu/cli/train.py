@@ -30,10 +30,15 @@ def main(argv=None):
 
     from ..data.datasets import ImageFolder, KodakDataset, Loader
     from ..models import get_model
-    from ..parallel.mesh import make_mesh, replicate, shard_batch
-    from ..training.loss import rate_distortion_loss
+    from ..parallel.mesh import make_mesh, replicate
     from ..training.optimizer import configure_optimizers, set_learning_rate
-    from ..training.step import create_train_state, make_eval_step, make_train_step
+    from ..training.step import (
+        create_train_state,
+        make_eval_step,
+        make_train_step,
+        needs_static_lv,
+        shard_train_step,
+    )
     from ..utils.checkpoint import ReduceLROnPlateau, save_checkpoint, load_checkpoint
     from ..utils.helper import AverageMeter, create_savepath, sec_to_hours
     from ..utils.metrics import compute_msssim
@@ -102,70 +107,45 @@ def main(argv=None):
     loss_type = args.type
 
     mesh = make_mesh()
+    if args.batch_size % mesh.devices.size != 0:
+        mesh = make_mesh(n_data=1)  # batch not divisible: no DP
     n_dev = mesh.devices.size
-    train_step = make_train_step(
-        module, main_tx, aux_tx, loss_type,
-        matmul_precision="bfloat16" if getattr(args, "bf16", False) else None,
-    )
-    eval_step = make_eval_step(module, loss_type)
+    precision = "bfloat16" if getattr(args, "bf16", False) else None
 
-    # per-level compiled steps (lv is a static model argument)
-    import functools
+    # ONE train-step implementation (training/step.py). Models whose
+    # per-level quantizers are stacked params take lv as a TRACED scalar —
+    # one compilation covers every rate level; only the refinement variants
+    # (Python per-level submodules) compile per level.
+    static = needs_static_lv(module)
 
     def step_for(lv):
-        def _s(state, batch, lmbda, rng, beta):
-            return _train_step_lv(train_step, state, batch, lmbda, rng, beta, lv)
-        return _s
+        if static:
+            s = shard_train_step(
+                make_train_step(module, main_tx, aux_tx, loss_type,
+                                matmul_precision=precision, static_lv=lv),
+                mesh,
+            )
+            return lambda st, b, lm, r, beta: s(st, b, lm, r, None, beta)
+        return lambda st, b, lm, r, beta, _lv=lv: _shared_step(
+            st, b, lm, r, jnp.int32(_lv), beta
+        )
 
-    def _train_step_lv(base_step, state, batch, lmbda, rng, beta, lv):
-        # re-bind the module forward with lv/beta through a closure
-        import optax as _optax
-
-        def loss_fn(params):
-            kwargs = dict(training=True)
-            if _accepts(module, "lv"):
-                kwargs["lv"] = lv
-            if _accepts(module, "beta") and beta is not None:
-                kwargs["beta"] = beta
-            out = module.apply({"params": params}, batch,
-                               rngs={"noise": rng}, **kwargs)
-            losses = rate_distortion_loss(out, batch, lmbda, loss_type)
-            gap = out.get("gap_gaussian", jnp.zeros(()))
-            return losses["loss"], (losses, gap)
-
-        grads, (losses, gap) = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = main_tx.update(grads, state.opt_state, state.params)
-        params = _optax.apply_updates(state.params, updates)
-
-        def aux_fn(p):
-            return module.apply({"params": p}, method=lambda m: m.aux_loss())
-
-        aux_grads = jax.grad(aux_fn)(params)
-        aux_updates, aux_opt_state = aux_tx.update(aux_grads, state.aux_opt_state, params)
-        params = _optax.apply_updates(params, aux_updates)
-        from ..training.step import TrainState
-
-        metrics = dict(losses)
-        metrics["gap"] = gap
-        return TrainState(params, opt_state, aux_opt_state, state.step + 1), metrics
-
-    jit_steps = {lv: jax.jit(step_for(lv), donate_argnums=(0,))
-                 for lv in range(len(lambda_list))}
+    if not static:
+        _shared_step = shard_train_step(
+            make_train_step(module, main_tx, aux_tx, loss_type,
+                            matmul_precision=precision),
+            mesh,
+        )
+    jit_steps = {lv: step_for(lv) for lv in range(len(lambda_list))}
 
     def eval_for(lv):
-        def _e(params, batch, lmbda):
-            kwargs = dict(training=False)
-            if _accepts(module, "lv"):
-                kwargs["lv"] = lv
-            out = module.apply({"params": params}, batch, **kwargs)
-            losses = rate_distortion_loss(out, batch, lmbda, loss_type)
-            x_hat = jnp.clip(out["x_hat"], 0, 1)
-            mse = jnp.mean((x_hat - batch) ** 2)
-            losses["psnr"] = -10.0 * jnp.log10(mse)
-            losses["x_hat"] = x_hat
-            return losses
-        return jax.jit(_e)
+        if static:
+            e = jax.jit(make_eval_step(module, loss_type, static_lv=lv))
+            return lambda p, b, lm: e(p, b, lm)
+        return lambda p, b, lm, _lv=lv: _shared_eval(p, b, lm, jnp.int32(_lv))
 
+    if not static:
+        _shared_eval = jax.jit(make_eval_step(module, loss_type))
     jit_evals = {lv: eval_for(lv) for lv in range(len(lambda_list))}
 
     best_loss = float("inf")
@@ -176,10 +156,9 @@ def main(argv=None):
         return 0
 
     # data-parallel: params replicated, batch sharded over the 'data' axis
-    # (XLA inserts the gradient all-reduce; replaces CustomDataParallel,
-    # reference train.py:168-169)
-    if n_dev > 1:
-        state = replicate(mesh, state)
+    # by the step's in_shardings (XLA inserts the gradient all-reduce;
+    # replaces CustomDataParallel, reference train.py:168-169)
+    state = replicate(mesh, state)
 
     for epoch in range(first_epoch, args.epochs):
         start = time.time()
@@ -190,10 +169,7 @@ def main(argv=None):
             counter += 1
             p = random.randint(0, len(lambda_list) - 1)
             beta = jnp.float32(ann_g.beta) if (is_stanh and ann_g is not None) else None
-            if n_dev > 1 and batch.shape[0] % n_dev == 0:
-                batch_j = shard_batch(mesh, batch)
-            else:
-                batch_j = jnp.asarray(batch)
+            batch_j = jnp.asarray(batch)
             state, metrics = jit_steps[p](
                 state, batch_j, jnp.float32(lambda_list[p]),
                 jax.random.PRNGKey(counter), beta,
@@ -233,10 +209,15 @@ def main(argv=None):
         best_loss = min(val_loss, best_loss)
 
         if args.save:
+            import re
+
             check = "pret" if args.checkpoint != "none" else "zero"
             name_folder = (check + args.model + "_" + str(args.N) + "_"
                            + str(args.symmetry) + "_" + str(args.gauss_gp)
                            + "_" + str(args.lambda_list))
+            # orbax paths go through tensorstore, which rejects glob
+            # metacharacters ([, ]) in kvstore paths
+            name_folder = re.sub(r"[\[\]\s,']+", "_", name_folder)
             cartella = os.path.join(args.save_path, name_folder)
             os.makedirs(cartella, exist_ok=True)
             filename, filename_best, very_best = create_savepath(args, epoch, cartella)
@@ -260,12 +241,6 @@ def main(argv=None):
 
 def is_stanh_name(model_name: str) -> bool:
     return "stanh" in model_name
-
-
-def _accepts(module, name: str) -> bool:
-    import inspect
-
-    return name in inspect.signature(type(module).__call__).parameters
 
 
 def _validate(jit_evals, params, loader, lambda_list, loss_type, epoch=0,

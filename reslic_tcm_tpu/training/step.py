@@ -5,10 +5,20 @@ training/step.py:30-114: forward, RD backward, grad clip, main step, aux
 step) with ONE fused XLA program. Data parallelism is mesh-based: the batch
 is sharded over the 'data' axis, parameters are replicated, and XLA inserts
 the gradient all-reduce over ICI (no DataParallel scatter/gather).
+
+This is the ONLY train-step implementation — the train CLI consumes it via
+`shard_train_step`. Multi-rate STanH models thread the rate level `lv` and
+annealing temperature `beta` through the same step as TRACED scalars (the
+stacked [n_rates, L] quantizer params are indexed with jnp.take), so one
+compilation covers every rate level. The exception is WACNN-STanH with
+refinement != 'none', whose per-level synthesis modules are a Python list:
+`needs_static_lv` reports it and `static_lv` bakes the level in (one
+compile per level, like the reference's per-level ModuleList forward).
 """
 
 from __future__ import annotations
 
+import inspect
 from typing import Any, NamedTuple
 
 import jax
@@ -34,32 +44,63 @@ def create_train_state(params, main_tx, aux_tx) -> TrainState:
     )
 
 
+def module_accepts(module, name: str) -> bool:
+    return name in inspect.signature(type(module).__call__).parameters
+
+
+def needs_static_lv(module) -> bool:
+    """True when the module indexes per-level Python submodules with lv
+    (WACNN-STanH refinement modes) so lv cannot be a traced scalar."""
+    return getattr(module, "refinement", "none") != "none"
+
+
 def make_train_step(module, main_tx, aux_tx, loss_type: str = "mse",
-                    matmul_precision: str | None = None):
-    """Returns train_step(state, batch, lmbda, rng) -> (state, metrics).
+                    matmul_precision: str | None = None,
+                    static_lv: int | None = None):
+    """Returns train_step(state, batch, lmbda, rng, lv=None, beta=None)
+    -> (state, metrics).
 
-    lmbda is a traced scalar so the multi-rate per-batch lambda draw
-    (reference step.py:37) does not trigger recompilation.
-    matmul_precision="bfloat16" runs all convs/matmuls single-pass on the
-    MXU (~4x on v5e; params, grads, and optimizer state stay fp32 — the
-    standard mixed-precision recipe for LIC training).
+    lmbda (and lv/beta for multi-rate models) are traced scalars so the
+    per-batch random rate-level draw (reference train.py:37,214) does not
+    trigger recompilation. matmul_precision="bfloat16" runs all convs /
+    matmuls single-pass on the MXU (~4x on v5e; params, grads, and
+    optimizer state stay fp32 — the standard mixed-precision recipe).
+    static_lv bakes the level into the trace for modules where
+    `needs_static_lv` is true.
     """
+    accepts_lv = module_accepts(module, "lv")
+    accepts_beta = module_accepts(module, "beta")
 
-    def train_step(state: TrainState, batch, lmbda, rng):
+    def train_step(state: TrainState, batch, lmbda, rng, lv=None, beta=None):
         if matmul_precision is not None:
             with jax.default_matmul_precision(matmul_precision):
-                return _train_step_body(state, batch, lmbda, rng)
-        return _train_step_body(state, batch, lmbda, rng)
+                return _train_step_body(state, batch, lmbda, rng, lv, beta)
+        return _train_step_body(state, batch, lmbda, rng, lv, beta)
 
-    def _train_step_body(state: TrainState, batch, lmbda, rng):
+    def _forward_kwargs(lv, beta):
+        kwargs = {}
+        if accepts_lv:
+            if static_lv is not None:
+                kwargs["lv"] = static_lv
+            elif lv is not None:
+                kwargs["lv"] = lv
+        if accepts_beta and beta is not None:
+            kwargs["beta"] = beta
+        return kwargs
+
+    def _train_step_body(state: TrainState, batch, lmbda, rng, lv, beta):
+        kwargs = _forward_kwargs(lv, beta)
+
         def loss_fn(params):
             out = module.apply(
-                {"params": params}, batch, training=True, rngs={"noise": rng}
+                {"params": params}, batch, training=True,
+                rngs={"noise": rng}, **kwargs
             )
             losses = rate_distortion_loss(out, batch, lmbda, loss_type)
-            return losses["loss"], losses
+            gap = out.get("gap_gaussian", jnp.zeros(()))
+            return losses["loss"], (losses, gap)
 
-        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads, (losses, gap) = jax.grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = main_tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
@@ -74,6 +115,7 @@ def make_train_step(module, main_tx, aux_tx, loss_type: str = "mse",
         params = optax.apply_updates(params, aux_updates)
 
         metrics = {k: v for k, v in losses.items()}
+        metrics["gap"] = gap
         metrics["aux_loss"] = aux_fn(params)
         new_state = TrainState(params, opt_state, aux_opt_state, state.step + 1)
         return new_state, metrics
@@ -81,9 +123,17 @@ def make_train_step(module, main_tx, aux_tx, loss_type: str = "mse",
     return train_step
 
 
-def make_eval_step(module, loss_type: str = "mse"):
-    def eval_step(params, batch, lmbda):
-        out = module.apply({"params": params}, batch, training=False)
+def make_eval_step(module, loss_type: str = "mse", static_lv: int | None = None):
+    accepts_lv = module_accepts(module, "lv")
+
+    def eval_step(params, batch, lmbda, lv=None):
+        kwargs = {}
+        if accepts_lv:
+            if static_lv is not None:
+                kwargs["lv"] = static_lv
+            elif lv is not None:
+                kwargs["lv"] = lv
+        out = module.apply({"params": params}, batch, training=False, **kwargs)
         losses = rate_distortion_loss(out, batch, lmbda, loss_type)
         mse = jnp.mean((jnp.clip(out["x_hat"], 0, 1) - batch) ** 2)
         losses["psnr"] = -10.0 * jnp.log10(mse)
@@ -94,14 +144,20 @@ def make_eval_step(module, loss_type: str = "mse"):
 
 def shard_train_step(train_step, mesh):
     """jit the step with batch sharded over the 'data' mesh axis and the
-    state replicated; XLA lowers the gradient reduction to ICI collectives."""
+    state replicated; XLA lowers the gradient reduction to ICI collectives.
+    The returned callable has the full (state, batch, lmbda, rng, lv, beta)
+    signature; lv/beta default to None (absent from the trace)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    replicated = NamedSharding(mesh, P())
     batch_sharding = NamedSharding(mesh, P("data", None, None, None))
-    return jax.jit(
+    jitted = jax.jit(
         train_step,
-        in_shardings=(None, batch_sharding, None, None),
+        in_shardings=(None, batch_sharding, None, None, None, None),
         out_shardings=(None, None),
         donate_argnums=(0,),
     )
+
+    def step(state, batch, lmbda, rng, lv=None, beta=None):
+        return jitted(state, batch, lmbda, rng, lv, beta)
+
+    return step

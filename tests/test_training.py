@@ -127,3 +127,74 @@ def test_eval_step_psnr():
     out = ev(state.params, _batch(), jnp.asarray(0.01))
     assert np.isfinite(float(out["psnr"]))
     assert float(out["bpp_loss"]) > 0
+
+
+# ---------------------------------------------------------------------------
+# Unified multi-rate step: lv/beta as traced scalars (one compile across
+# rate levels), static_lv for Python per-level submodules.
+# ---------------------------------------------------------------------------
+
+_GCFG2 = [
+    {"beta": 10, "num_sigmoids": 0, "annealing": "gap_stoc", "symmetry": False,
+     "gap_factor": 25, "extrema": 8, "trainable": True, "removing_mean": False}
+    for _ in range(2)
+]
+
+
+def test_multirate_lv_is_traced_one_compile():
+    """The stacked [n_rates, L] stanh params are indexed with a traced lv:
+    one compilation must cover every rate level (replaces the per-level
+    jit dict the train CLI used to build)."""
+    from reslic_tcm_tpu.models.stanh.variants import make_scale_stanh
+    from reslic_tcm_tpu.training.step import needs_static_lv
+
+    codec = make_scale_stanh(_GCFG2, N=16, M=24, fact_stanh=True)
+    module = codec.module
+    assert not needs_static_lv(module)
+    main_tx, aux_tx = configure_optimizers(codec.params)
+    state = create_train_state(codec.params, main_tx, aux_tx)
+    step = make_train_step(module, main_tx, aux_tx)
+    traces = []
+
+    def counting_step(*args):
+        traces.append(1)
+        return step(*args)
+
+    jstep = jax.jit(counting_step)
+    g = np.random.default_rng(7).uniform(size=(2, 8, 8, 3))
+    batch = jnp.asarray(np.repeat(np.repeat(g, 8, axis=1), 8, axis=2),
+                        jnp.float32)
+    k = jax.random.PRNGKey(0)
+    beta = jnp.float32(10.0)
+    state, m0 = jstep(state, batch, jnp.float32(0.0025), k, jnp.int32(0), beta)
+    state, m1 = jstep(state, batch, jnp.float32(0.05), k, jnp.int32(1), beta)
+    assert len(traces) == 1, "rate level lv must be traced, not static"
+    assert np.isfinite(float(m0["loss"])) and np.isfinite(float(m1["loss"]))
+    assert "gap" in m1 and np.isfinite(float(m1["gap"]))
+
+
+def test_static_lv_refinement_multiple():
+    """WACNN-STanH refinement='multiple' indexes Python submodules with lv;
+    needs_static_lv reports it and static_lv bakes the level in."""
+    from reslic_tcm_tpu.models.stanh.variants import make_wacnn_stanh
+    from reslic_tcm_tpu.training.step import needs_static_lv
+
+    codec = make_wacnn_stanh(
+        _GCFG2, N=32, M=40, refinement="multiple", input_shape=(128, 128),
+        hyper_dims=(40, 36, 32), mean_dims=(32, 36, 40, 44),
+        cc_dims=(28, 24, 20, 16),
+    )
+    module = codec.module
+    assert needs_static_lv(module)
+    main_tx, aux_tx = configure_optimizers(codec.params)
+    state = create_train_state(codec.params, main_tx, aux_tx)
+    rng = np.random.default_rng(5)
+    g = rng.uniform(size=(1, 8, 8, 3))
+    batch = jnp.asarray(np.repeat(np.repeat(g, 16, axis=1), 16, axis=2),
+                        jnp.float32)
+    k = jax.random.PRNGKey(0)
+    for lv in range(2):
+        step = jax.jit(make_train_step(module, main_tx, aux_tx, static_lv=lv))
+        state, m = step(state, batch, jnp.float32(0.0025), k, None,
+                        jnp.float32(10.0))
+        assert np.isfinite(float(m["loss"]))
