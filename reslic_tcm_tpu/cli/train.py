@@ -26,6 +26,14 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.coordinator:
+        # multi-host SPMD: jax.devices() becomes the global device list and
+        # the jitted step is one program over all slices (beyond-parity; the
+        # reference has only single-node nn.DataParallel, helper.py:106-113)
+        from ..parallel.multihost import initialize_distributed
+
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
     import jax.numpy as jnp
 
     from ..data.datasets import ImageFolder, KodakDataset, Loader
@@ -46,7 +54,7 @@ def main(argv=None):
     for arg in vars(args):
         print(arg, ":", getattr(args, arg))
 
-    wandb_run = _maybe_wandb(args)
+    wandb_run = _maybe_wandb(args) if jax.process_index() == 0 else None
 
     if args.seed is not None:
         random.seed(int(args.seed))
@@ -60,7 +68,18 @@ def main(argv=None):
                            patch_size=patch, train=True)
     valid_ds = ImageFolder(args.dataset, num_images=args.num_images_val, split="test",
                            patch_size=patch, train=False)
-    train_loader = Loader(train_ds, args.batch_size, seed=int(args.seed),
+    # multi-host: batch_size is GLOBAL; each process loads its own rows with
+    # a process-distinct shuffle seed and distribute_batch assembles the
+    # global sharded array.
+    from ..parallel.multihost import (
+        distribute_batch,
+        is_coordinator,
+        local_batch_size,
+    )
+
+    local_bs = local_batch_size(args.batch_size)
+    train_loader = Loader(train_ds, local_bs,
+                          seed=int(args.seed) + jax.process_index(),
                           num_threads=args.num_workers)
     valid_loader = Loader(valid_ds, args.test_batch_size, seed=0, shuffle=False,
                           drop_last=False, num_threads=args.num_workers)
@@ -74,8 +93,18 @@ def main(argv=None):
     restored = None
     if args.checkpoint != "none":
         print("Loading", args.checkpoint)
-        restored = load_checkpoint(args.checkpoint)
-        codec.variables = {"params": restored["state"]["params"]}
+        if args.checkpoint.endswith((".pth", ".pth.tar", ".pt")):
+            # PyTorch warm start: a released reference checkpoint or a saved
+            # CompressAI-zoo state dict (e.g. bmshj2018_hyperprior). Loaded
+            # non-strictly with CDF-key deletion semantics (reference
+            # models/__init__.py:25-35,81-90) — the network-download path of
+            # the reference's zoo warm start, taken from a local file here.
+            from ..utils.torch_convert import warm_start_codec
+
+            warm_start_codec(codec, args.checkpoint)
+        else:
+            restored = load_checkpoint(args.checkpoint)
+            codec.variables = {"params": restored["state"]["params"]}
 
     labels = None
     if args.freeze and is_stanh_name(args.model):
@@ -169,7 +198,7 @@ def main(argv=None):
             counter += 1
             p = random.randint(0, len(lambda_list) - 1)
             beta = jnp.float32(ann_g.beta) if (is_stanh and ann_g is not None) else None
-            batch_j = jnp.asarray(batch)
+            batch_j = distribute_batch(mesh, batch)
             state, metrics = jit_steps[p](
                 state, batch_j, jnp.float32(lambda_list[p]),
                 jax.random.PRNGKey(counter), beta,
@@ -208,7 +237,7 @@ def main(argv=None):
         is_best = val_loss < best_loss
         best_loss = min(val_loss, best_loss)
 
-        if args.save:
+        if args.save and is_coordinator():
             import re
 
             check = "pret" if args.checkpoint != "none" else "zero"

@@ -60,6 +60,15 @@ def parse_args(argv):
                         help="bfloat16 MXU matmul precision for the train "
                              "step (~4x conv throughput on v5e; params and "
                              "optimizer state stay fp32)")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="host:port of process 0 for multi-host "
+                             "(multi-slice) training; starts the JAX "
+                             "distributed runtime. batch_size is GLOBAL.")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="total process count for --coordinator "
+                             "(inferred from the env on TPU pods)")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="this process's id for --coordinator")
     parser.add_argument("--no-remat", dest="remat", action="store_false",
                         default=True,
                         help="disable gradient checkpointing of the "

@@ -150,10 +150,15 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], params: Any,
         if names[-1] == "kernel" and len(names) >= 2 and names[-2] != "conv":
             deconv_paths.add(names[:-1])
 
-    # entropy bottleneck chain renames: matrix0 -> _matrix0 etc.
+    # entropy bottleneck chain renames: matrix0 -> _matrix0 etc. The stanh
+    # EB shares the torch-side name "entropy_bottleneck" (reference
+    # balle18_stanh.py:26), so a CompressAI zoo checkpoint warm-starts its
+    # chain exactly as the reference's strict=False load does
+    # (reference models/__init__.py:81-90).
     def finalize_key(k: str) -> str:
-        k = re.sub(r"\bentropy_bottleneck\.(matrix|bias|factor)(\d)",
+        k = re.sub(r"\bentropy_bottleneck(?:_stanh)?\.(matrix|bias|factor)(\d)",
                    r"entropy_bottleneck._\1\2", k)
+        k = k.replace("entropy_bottleneck_stanh.", "entropy_bottleneck.")
         return k
 
     for path, leaf in flat:
@@ -191,3 +196,35 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], params: Any,
         for u in unused:
             print(f"  unused torch key: {u}")
     return rebuild(params), report
+
+
+def warm_start_codec(codec, path: str, verbose: bool = False) -> dict:
+    """Warm-start a codec from a PyTorch state-dict file, non-strictly.
+
+    The TPU-native equivalent of the reference's CompressAI-zoo warm start
+    (reference models/__init__.py:81-90 + train.py:57-67): CDF buffers
+    (_quantized_cdf/_offset/_cdf_length/scale_table) are derived state and
+    ignored, and key mismatches are tolerated on both sides — so a
+    bmshj2018_hyperprior checkpoint loads into a ScaleHyperpriorStanh
+    (transforms + EB chain warmed; stanh params keep their init), matching
+    the reference's delete_keys + load_state_dict(strict=False) semantics.
+
+    Mutates codec.variables in place; returns the converter report.
+    """
+    sd = load_torch_state_dict(path)
+    params, report = convert_state_dict(sd, codec.params, verbose=verbose)
+    n_loaded = sum(1 for _ in _iter_leaves(params)) - len(report["missing"])
+    if verbose or report["missing"] or report["unused"]:
+        print(f"warm start from {path}: {n_loaded} leaves loaded, "
+              f"{len(report['missing'])} kept init, "
+              f"{len(report['unused'])} torch keys unused")
+    codec.variables = {"params": params}
+    return report
+
+
+def _iter_leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _iter_leaves(v)
+    else:
+        yield tree
