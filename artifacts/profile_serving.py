@@ -25,7 +25,8 @@ NBATCH = int(os.environ.get("NBATCH", "3"))
 
 print(f"# device: {jax.devices()[0]} K={K}", file=sys.stderr)
 t0 = time.time()
-codec = make_tcm(N=N, M=M, rng=jax.random.PRNGKey(0), fast_init=True)
+codec = make_tcm(N=N, M=M, rng=jax.random.PRNGKey(0), fast_init=True,
+                 dtype=jnp.bfloat16 if os.environ.get("DTYPE")=="bf16" else None)
 codec.set_matmul_precision("bfloat16")
 if os.environ.get("FUSED", "1") == "1":
     from reslic_tcm_tpu.ops.window_attention import enable_fused_attention
@@ -106,3 +107,16 @@ def run_pipe():
 run_pipe()
 dt = min(run_pipe()[0] for _ in range(2))
 print(f"pipelined {NBATCH}x: {NBATCH*MP/dt:.2f} MP/s ({dt*1000:.0f}ms)")
+
+
+# metrics profile: on-device PSNR, only container+scalars cross the link
+def run_metrics():
+    t0 = time.perf_counter()
+    outs = codec.serve_roundtrip_metrics(xs, k=K)
+    dt = time.perf_counter() - t0
+    return dt, outs
+
+dtm, outs = run_metrics()
+dtm = min(dtm, run_metrics()[0], run_metrics()[0])
+ps = np.concatenate([o["psnr"] for o in outs])
+print(f"metrics-pipeline {NBATCH}x: {NBATCH*MP/dtm:.2f} MP/s ({dtm*1000:.0f}ms) psnr_mean={ps.mean():.2f}")

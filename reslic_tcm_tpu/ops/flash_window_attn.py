@@ -57,19 +57,28 @@ def _erf_poly(x):
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, lns_ref,
             lnb_ref, bias_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
             b2_ref, o_ref, *, C, hd, w, shifted, nwh, nww, compute_dtype,
-            with_mlp):
+            with_mlp, tile):
     H = C // hd
     T = w * w  # tokens per window
-    xw = x_ref[:].reshape(T, C)
+    cd = compute_dtype
+
+    # TILE consecutive windows along W per grid step: the token-wise dense
+    # layers (LN/qkv/proj/MLP) run as [tile*T, C] full-occupancy MXU
+    # matmuls and the per-grid-step pipeline overhead amortizes tile-fold
+    # (one window per step = 12k tiny steps at stage-0, ~1 us each of pure
+    # overhead). Only the per-window score/PV contractions stay per-window.
+    xw = x_ref[:].reshape(w, tile, w, C)
+    xcat = jnp.concatenate(
+        [xw[:, t].reshape(T, C) for t in range(tile)], axis=0
+    )  # [tile*T, C], window-major
 
     # LayerNorm (fp32 stats)
-    xf = xw.astype(jnp.float32)
+    xf = xcat.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
     ln = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
     ln = ln * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
 
-    cd = compute_dtype
     qkv = (
         jax.lax.dot_general(
             ln.astype(cd), wqkv_ref[:].astype(cd), (((1,), (0,)), ((), ())),
@@ -78,21 +87,11 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, lns_ref,
         + bqkv_ref[:].astype(jnp.float32)
     )
     scale = jnp.float32(hd) ** -0.5
-    q = qkv[:, :C] * scale
-    k = qkv[:, C : 2 * C]
-    v = qkv[:, 2 * C :]
 
     # block-diagonal head mask [H*T, C]: row block h keeps columns of head h
     rows_h = jax.lax.broadcasted_iota(jnp.int32, (H * T, C), 0) // T
     cols_h = jax.lax.broadcasted_iota(jnp.int32, (H * T, C), 1) // hd
     head_mask = (rows_h == cols_h).astype(jnp.float32)
-
-    qt = jnp.concatenate([q] * H, axis=0) * head_mask  # [H*T, C]
-    scores = jax.lax.dot_general(
-        qt.astype(cd), k.astype(cd), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [H*T, T] rows (h, p), lanes q
-    scores = scores + bias_ref[:].astype(jnp.float32)
 
     if shifted:
         # standard swin boundary masks, built from iota + program ids
@@ -104,31 +103,54 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, lns_ref,
         blocked_r = (p_r < s) != (q_r < s)
         blocked_c = (p_c < s) != (q_c < s)
         is_last_i = (pl.program_id(1) == nwh - 1).astype(jnp.float32)
-        is_last_j = (pl.program_id(2) == nww - 1).astype(jnp.float32)
-        pen = (
-            blocked_r.astype(jnp.float32) * is_last_i
-            + blocked_c.astype(jnp.float32) * is_last_j
+        is_last_tile = (pl.program_id(2) == nww // tile - 1).astype(
+            jnp.float32
         )
-        scores = scores + pen * NEG_INF
 
-    probs = jax.nn.softmax(scores, axis=-1)
-    outf = jax.lax.dot_general(
-        probs.astype(cd), v.astype(cd), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [H*T, C]
-    outf = outf * head_mask
-    out = outf[:T]
-    for h in range(1, H):
-        out = out + outf[h * T : (h + 1) * T]
+    outs = []
+    for t in range(tile):
+        q = qkv[t * T : (t + 1) * T, :C] * scale
+        k = qkv[t * T : (t + 1) * T, C : 2 * C]
+        v = qkv[t * T : (t + 1) * T, 2 * C :]
 
+        qt = jnp.concatenate([q] * H, axis=0) * head_mask  # [H*T, C]
+        scores = jax.lax.dot_general(
+            qt.astype(cd), k.astype(cd), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H*T, T] rows (h, p), lanes q
+        scores = scores + bias_ref[:].astype(jnp.float32)
+
+        if shifted:
+            # column blocking applies only to the image's last window,
+            # i.e. the last window of the last tile
+            is_last_j = is_last_tile * jnp.float32(t == tile - 1)
+            pen = (
+                blocked_r.astype(jnp.float32) * is_last_i
+                + blocked_c.astype(jnp.float32) * is_last_j
+            )
+            scores = scores + pen * NEG_INF
+
+        probs = jax.nn.softmax(scores, axis=-1)
+        outf = jax.lax.dot_general(
+            probs.astype(cd), v.astype(cd), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [H*T, C]
+        outf = outf * head_mask
+        out = outf[:T]
+        for h in range(1, H):
+            out = out + outf[h * T : (h + 1) * T]
+        outs.append(out)
+
+    out_all = jnp.concatenate(outs, axis=0)  # [tile*T, C]
     y = (
         jax.lax.dot_general(
-            out.astype(cd), wproj_ref[:].astype(cd), (((1,), (0,)), ((), ())),
+            out_all.astype(cd), wproj_ref[:].astype(cd),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         + bproj_ref[:].astype(jnp.float32)
     )
-    res = xw.astype(jnp.float32) + y
+    res = xf + y
 
     if with_mlp:
         # LN2 -> Dense(4C) -> GELU -> Dense(C) -> +res (Block, tcm.py:214)
@@ -158,12 +180,18 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, lns_ref,
             + b2_ref[:].astype(jnp.float32)
         )
 
-    o_ref[:] = res.astype(x_ref.dtype).reshape(1, w, w, C)
+    # un-concatenate back to the [1, w, tile*w, C] block layout
+    res_w = jnp.stack(
+        [res[t * T : (t + 1) * T].reshape(w, w, C) for t in range(tile)],
+        axis=1,
+    )  # [w, tile, w, C]
+    o_ref[:] = res_w.astype(x_ref.dtype).reshape(1, w, tile * w, C)
 
 
 def flash_window_block(x, wqkv, bqkv, wproj, bproj, ln_scale, ln_bias,
                        rel_bias, mlp=None, *, head_dim, window, shifted,
-                       compute_dtype=jnp.bfloat16, interpret=False):
+                       compute_dtype=jnp.bfloat16, interpret=False,
+                       tile: int | None = None):
     """x: NHWC [B, H, W, C] (H, W divisible by window; pre-roll for SW).
     rel_bias: [n_heads, w*w, w*w]. Returns x + proj(attn(LN(x))), and with
     mlp=(ln2_s, ln2_b, w1, b1, w2, b2) the full Swin sub-block including
@@ -175,6 +203,16 @@ def flash_window_block(x, wqkv, bqkv, wproj, bproj, ln_scale, ln_bias,
     nwh, nww = hgt // w, wid // w
     H = C // head_dim
     T = w * w
+
+    if tile is None:
+        # measured on v5e at stage-0 [8,384,256,128]: tile=1 33 ms,
+        # tile=2 24 ms, tile=4 20 ms, tile=8 21 ms — 4 is the sweet spot
+        tile = 1
+        for cand in (4, 8, 2):
+            if nww % cand == 0:
+                tile = cand
+                break
+    assert nww % tile == 0, (nww, tile)
 
     bias_s = rel_bias.reshape(H * T, T).astype(jnp.float32)
     with_mlp = mlp is not None
@@ -190,15 +228,15 @@ def flash_window_block(x, wqkv, bqkv, wproj, bproj, ln_scale, ln_bias,
 
     kern = partial(
         _kernel, C=C, hd=head_dim, w=w, shifted=shifted, nwh=nwh, nww=nww,
-        compute_dtype=compute_dtype, with_mlp=with_mlp,
+        compute_dtype=compute_dtype, with_mlp=with_mlp, tile=tile,
     )
     const = lambda *_: (0, 0)  # noqa: E731
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        grid=(b, nwh, nww),
+        grid=(b, nwh, nww // tile),
         in_specs=[
-            pl.BlockSpec((1, w, w, C), lambda i, j, kk: (i, j, kk, 0)),
+            pl.BlockSpec((1, w, tile * w, C), lambda i, j, kk: (i, j, kk, 0)),
             pl.BlockSpec((C, 3 * C), lambda *_: (0, 0)),
             pl.BlockSpec((1, 3 * C), lambda *_: (0, 0)),
             pl.BlockSpec((C, C), const),
@@ -213,7 +251,8 @@ def flash_window_block(x, wqkv, bqkv, wproj, bproj, ln_scale, ln_bias,
             pl.BlockSpec((hid, C), const),
             pl.BlockSpec((1, C), const),
         ],
-        out_specs=pl.BlockSpec((1, w, w, C), lambda i, j, kk: (i, j, kk, 0)),
+        out_specs=pl.BlockSpec((1, w, tile * w, C),
+                               lambda i, j, kk: (i, j, kk, 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
