@@ -88,6 +88,11 @@ def main(argv=None):
         kodak = KodakDataset(args.kodak)
 
     codec, gcfg, ann_g, fcfg, ann_f = get_model(args, input_shape=patch)
+    if getattr(codec, "approx_init", False):
+        raise SystemExit(
+            "refusing to train a fast_init (approximate-statistics) model; "
+            "build with the faithful initializer (utils/device.py:14-22)"
+        )
     module = codec.module
 
     restored = None
@@ -260,6 +265,18 @@ def main(argv=None):
                 save_checkpoint(very_best, state, payload_extra)
             else:
                 save_checkpoint(filename, state, payload_extra)
+            # Prune older per-epoch checkpoints (keep the one just written
+            # and _very_best). The reference keeps every epoch file
+            # (helper.py:55-73); at hundreds of epochs that's tens of GB
+            # of optimizer state for no recovery value.
+            import shutil
+
+            keep = {os.path.basename(p) for p in
+                    (filename, filename_best, very_best)}
+            for entry in os.listdir(cartella):
+                if entry.endswith(".ckpt") and entry not in keep:
+                    shutil.rmtree(os.path.join(cartella, entry),
+                                  ignore_errors=True)
 
         codec.variables = {"params": state.params}
         sec_to_hours(time.time() - start)

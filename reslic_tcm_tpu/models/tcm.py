@@ -266,4 +266,9 @@ def make_tcm(
         variables = _fast(module, rngs, x, training=True)
     else:
         variables = init_on_cpu(module, rngs, x, training=True)
-    return ChannelARCodec(module, variables)
+    codec = ChannelARCodec(module, variables)
+    # fast_init statistics are approximately (not bit-) faithful to the
+    # flax initializers — benchmark/codec-path use only. Marked so a
+    # training entry point can refuse it.
+    codec.approx_init = bool(fast_init)
+    return codec

@@ -19,6 +19,13 @@ import jax  # noqa: E402
 # environment; the config API wins over the plugin.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall time is dominated by CPU
+# XLA compiles of the bigger models; caching them across sessions cuts
+# repeat runs by an order of magnitude.
+os.makedirs("/tmp/jax_test_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
