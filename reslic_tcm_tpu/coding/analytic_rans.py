@@ -141,8 +141,16 @@ def encode_gaussian(symbols, params, k: int = 1024, cap: int | None = None):
     if cap is None:
         cap = steps + 2
 
-    sym_g = symbols.reshape(steps, k)
-    par_g = {kk: v.reshape(steps, k) for kk, v in params.items()}
+    # The encoder knows every symbol upfront, so the erf-heavy CDF
+    # boundaries hoist OUT of the scan as one fused vectorized pass over
+    # all n symbols; the serial scan body shrinks to the rANS state update
+    # (the decoder can't do this — its boundary search depends on the
+    # symbol being decoded).
+    s_all = (symbols + params["c"]).astype(jnp.int32)
+    start_all = _boundary(s_all, params)
+    freq_all = _boundary(s_all + 1, params) - start_all
+    start_g = start_all.reshape(steps, k)
+    freq_g = freq_all.reshape(steps, k)
 
     # Words leave the scan as per-step OUTPUTS; a single vectorized scatter
     # compacts them per lane afterwards. A words-buffer scatter in the scan
@@ -151,10 +159,7 @@ def encode_gaussian(symbols, params, k: int = 1024, cap: int | None = None):
     # Works because the no-escape analytic scheme emits at most ONE word
     # per lane per step.
     def step_fn(x, inp):
-        sym, p = inp
-        s = (sym + p["c"]).astype(jnp.int32)
-        start = _boundary(s, p)
-        freq = _boundary(s + 1, p) - start
+        start, freq = inp
 
         need = x >= (freq << 16)
         w_out = (x & MASK16).astype(jnp.uint16)
@@ -176,7 +181,7 @@ def encode_gaussian(symbols, params, k: int = 1024, cap: int | None = None):
     x0 = jnp.full((k,), RANS_L, jnp.uint32)
     rev = lambda t: t[::-1]  # noqa: E731
     x, (ws, needs) = jax.lax.scan(
-        step_fn, x0, (rev(sym_g), {kk: rev(v) for kk, v in par_g.items()})
+        step_fn, x0, (rev(start_g), rev(freq_g))
     )
 
     needs_i = needs.astype(jnp.int32)
@@ -248,14 +253,15 @@ def encode_gaussian_grouped(symbols, params, k: int = 1024,
     if cap is None:
         cap = steps * k  # absolute worst case: one word per symbol
 
-    sym_g = symbols.reshape(steps, k)
-    par_g = {kk: v.reshape(steps, k) for kk, v in params.items()}
+    # boundaries hoisted out of the scan (see encode_gaussian)
+    s_all = (symbols + params["c"]).astype(jnp.int32)
+    start_all = _boundary(s_all, params)
+    freq_all = _boundary(s_all + 1, params) - start_all
+    start_g = start_all.reshape(steps, k)
+    freq_g = freq_all.reshape(steps, k)
 
     def step_fn(x, inp):
-        sym, p = inp
-        s = (sym + p["c"]).astype(jnp.int32)
-        start = _boundary(s, p)
-        freq = _boundary(s + 1, p) - start
+        start, freq = inp
         need = x >= (freq << 16)
         w_out = (x & MASK16).astype(jnp.uint16)
         x = jnp.where(need, x >> 16, x)
@@ -275,7 +281,7 @@ def encode_gaussian_grouped(symbols, params, k: int = 1024,
     x0 = jnp.full((k,), RANS_L, jnp.uint32)
     rev = lambda t: t[::-1]  # noqa: E731
     x, (ws, needs) = jax.lax.scan(
-        step_fn, x0, (rev(sym_g), {kk: rev(v) for kk, v in par_g.items()})
+        step_fn, x0, (rev(start_g), rev(freq_g))
     )
 
     # decode-read order: groups t = S-1-s_enc (so reverse rows back), lane
