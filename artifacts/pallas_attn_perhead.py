@@ -1,4 +1,14 @@
-"""Fused window-attention Pallas kernel (TPU).
+"""[SUPERSEDED benchmark artifact — kept for measurement reproduction only.]
+
+This per-head fused window-attention kernel measurably LOSES to XLA's
+composed path (its [64, head_dim] per-head contractions underutilize the MXU
+~99%; see docs/PERFORMANCE.md). The production kernel is
+reslic_tcm_tpu/ops/flash_window_attn.py, which computes all heads' scores in
+one full-width block-diagonal MXU matmul. Not imported by the package.
+
+Original description:
+
+Fused window-attention Pallas kernel (TPU).
 
 Fuses the per-window attention core of WMSA —
 qkv projection -> scaled dot-product attention with relative position bias
