@@ -25,6 +25,9 @@ import numpy as np
 os.makedirs("/tmp/jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("EVAL_RD_CPU"):
+    # config API beats the hosted TPU plugin's JAX_PLATFORMS override
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main():
