@@ -136,3 +136,54 @@ def test_compression_is_near_entropy():
     entropy_bits = -(pmf * np.log2(pmf)).sum() * n
     actual_bits = len(s) * 8
     assert actual_bits < entropy_bits * 1.02 + 64
+
+
+def test_malformed_streams_never_crash_or_hang():
+    """Truncated/corrupted/garbage streams must decode to SOMETHING (values
+    may be nonsense) without heap over-reads or infinite loops — the
+    bounds-checked renorm contract (coding/csrc/rans.cpp:68-78)."""
+    rng = np.random.default_rng(11)
+    pmf = rng.gamma(1.0, 1.0, 16).astype(np.float32)
+    pmf /= pmf.sum()
+    cdf = rans.pmf_to_quantized_cdf(pmf, 16)
+    table = cdf[None, :]
+    lens = np.array([len(cdf)], np.int32)
+    offs = np.array([-7], np.int32)
+    idx = np.zeros(128, np.int32)
+    syms = (rng.integers(0, 13, 128) - 7).astype(np.int32)
+    good = rans.encode_with_indexes(syms, idx, table, lens, offs)
+
+    cases = [b"", b"\x00" * 4, good[: len(good) // 2], good[:8],
+             bytes(rng.integers(0, 256, 64, dtype=np.uint8)),
+             good + b"\xff" * 8]
+    flip = bytearray(good)
+    for i in range(0, len(flip), 7):
+        flip[i] ^= 0xA5
+    cases.append(bytes(flip))
+    for s in cases:
+        out = rans.decode_with_indexes(s, idx, table, lens, offs)
+        assert out.shape == (128,)
+
+    # decoding MORE symbols than encoded must also terminate
+    big_idx = np.zeros(4096, np.int32)
+    out = rans.decode_with_indexes(good, big_idx, table, lens, offs)
+    assert out.shape == (4096,)
+
+
+def test_mismatched_lengths_rejected():
+    table = rans.pmf_to_quantized_cdf(np.float32([0.5, 0.3, 0.2]), 16)[None]
+    lens = np.array([4], np.int32)
+    offs = np.array([0], np.int32)
+    with pytest.raises(ValueError):
+        rans.encode_with_indexes(np.zeros(4, np.int32), np.zeros(3, np.int32),
+                                 table, lens, offs)
+    enc = rans.BufferedRansEncoder()
+    with pytest.raises(ValueError):
+        enc.encode_with_indexes(np.zeros(2, np.int32), np.zeros(5, np.int32),
+                                table, lens, offs)
+
+
+def test_pmf_rejects_negative_and_nan():
+    for bad in ([0.5, -0.1, 0.6], [0.5, float("nan"), 0.5]):
+        with pytest.raises(ValueError):
+            rans.pmf_to_quantized_cdf(np.float32(bad), 16)
