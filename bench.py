@@ -31,10 +31,9 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     p.add_argument("--fused-attn", action="store_true")
-    p.add_argument("--bf16", action="store_true",
-                   help="bfloat16 transform compute (fp32 params)")
     p.add_argument("--fp32", action="store_true",
-                   help="keep fp32 MXU precision (parity mode; default is "
+                   help="fp32 activations + fp32 MXU precision (parity "
+                        "mode; the default is bf16 activations with "
                         "matmul_precision=bfloat16 for throughput)")
     p.add_argument("--device-coder", action="store_true",
                    help="measure the on-device interleaved-rANS profile")

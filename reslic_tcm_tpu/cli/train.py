@@ -140,9 +140,19 @@ def main(argv=None):
     is_stanh = "stanh" in args.model
     loss_type = args.type
 
+    import math as _math
+
     mesh = make_mesh()
     if args.batch_size % mesh.devices.size != 0:
-        mesh = make_mesh(n_data=1)  # batch not divisible: no DP
+        if jax.process_count() > 1:
+            # a narrower mesh would exclude some hosts' devices entirely
+            # (unaddressable shardings); demand divisibility instead
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be divisible by the "
+                f"{mesh.devices.size} global devices in multi-host runs"
+            )
+        # single process: widest DP the batch divides (1 = no DP)
+        mesh = make_mesh(n_data=_math.gcd(args.batch_size, mesh.devices.size))
     n_dev = mesh.devices.size
     precision = "bfloat16" if getattr(args, "bf16", False) else None
 
@@ -194,6 +204,17 @@ def main(argv=None):
     # replaces CustomDataParallel, reference train.py:168-169)
     state = replicate(mesh, state)
 
+    def eval_params():
+        # The plain-jit eval steps place host inputs on the process-local
+        # default device; global-mesh-replicated params would mix device
+        # sets in multi-host runs ("incompatible devices"), so fetch a
+        # local copy there. Single-process passes the arrays through.
+        if jax.process_count() == 1:
+            return state.params
+        return jax.tree_util.tree_map(
+            lambda a: np.asarray(a.addressable_data(0)), state.params
+        )
+
     for epoch in range(first_epoch, args.epochs):
         start = time.time()
         print(f"Learning rate: {scheduler.lr}")
@@ -230,10 +251,10 @@ def main(argv=None):
                     log["general_data/gaussian_beta"] = ann_g.beta
                 wandb_run.log(log)
 
-        val_loss = _validate(jit_evals, state.params, valid_loader, lambda_list,
+        val_loss = _validate(jit_evals, eval_params(), valid_loader, lambda_list,
                              loss_type, epoch=epoch, wandb_run=wandb_run)
         if kodak is not None:
-            _validate(jit_evals, state.params, kodak, lambda_list, loss_type,
+            _validate(jit_evals, eval_params(), kodak, lambda_list, loss_type,
                       epoch=epoch, wandb_run=wandb_run, tag="test")
 
         new_lr = scheduler.step(val_loss)

@@ -293,11 +293,11 @@ def encode_gaussian_grouped(symbols, params, k: int = 1024,
     total = jnp.sum(flatn)
     dst = jnp.where(flatn > 0, jnp.minimum(pos, cap), cap)
     flat = jnp.zeros((cap + 1,), jnp.uint16)
-    # dst is monotone nondecreasing in source order (prefix sums; invalid
-    # slots clamp to the sentinel cap) — the sorted hint lets XLA skip its
-    # sort-based scatter lowering. Duplicates only ever hit the sentinel,
-    # which is sliced off.
-    flat = flat.at[dst].set(ws_d.reshape(-1), indices_are_sorted=True)
+    # NB: dst is NOT sorted — non-emitting slots map to the sentinel `cap`,
+    # interleaved between the increasing prefix-sum positions — so the
+    # indices_are_sorted scatter hint would be a false promise (undefined
+    # results under XLA's sorted-scatter lowering).
+    flat = flat.at[dst].set(ws_d.reshape(-1))
     header = jnp.stack(
         [(x & MASK16).astype(jnp.uint16), (x >> 16).astype(jnp.uint16)],
         axis=-1,

@@ -1307,11 +1307,15 @@ class ChannelARCodec:
         return fn
 
     def compress_device_analytic(self, x, lv: int = 0, k: int = 1024,
-                                 cap: int | None = None) -> dict:
+                                 cap: int | None = None,
+                                 keep_source: bool = False) -> dict:
         """Table-free fully-device encode as ONE XLA program.
 
         x: NHWC [B,H,W,3] or packed RGB rows [B,H,3W] (preferred for
-        serving: uploads dense and skips the lane-padded image layout)."""
+        serving: uploads dense and skips the lane-padded image layout).
+        keep_source=True stashes the device-resident source under
+        enc["x_dev"] for decompress(psnr_vs=...); off by default — it pins
+        ~12 bytes/px of HBM for the container's lifetime."""
         assert self.eb_tables is not None, "call update() first"
         b = x.shape[0]
         if x.ndim == 4:
@@ -1362,9 +1366,7 @@ class ChannelARCodec:
         zc = (packed[o : o + kz].astype(np.int64)
               | (packed[o + kz : o + 2 * kz].astype(np.int64) << 16))
         yc = np.asarray([y_total + 2 * k])  # + per-lane final-state header
-        return {
-            "x_dev": x,  # device handle of the packed source (for on-device
-            #              PSNR in the metrics serving profile)
+        out = {
             "packed": packed,
             "shape": (zh, zw),
             "k": k,
@@ -1375,6 +1377,9 @@ class ChannelARCodec:
             "coder": "analytic",
             "nbytes": int(yc.sum() + zc.sum()) * 2,
         }
+        if keep_source:
+            out["x_dev"] = x
+        return out
 
     def decompress_device_analytic(self, enc: dict, lv: int = 0,
                                    raw_u8: bool = False,
@@ -1418,8 +1423,13 @@ class ChannelARCodec:
         stream, ~51 MB/s aggregate at 4); a production PCIe DMA doesn't need
         this but isn't hurt by it. Returns a future resolving to the
         assembled np array."""
-        chunks = jnp.split(dev_array, n_streams, axis=0) if n_streams > 1 \
-            else [dev_array]
+        n = dev_array.shape[0]
+        n_streams = max(1, min(n_streams, n))
+        # uneven split (jnp.split demands equal division): ceil-sized
+        # leading chunks, like np.array_split
+        bounds = [round(i * n / n_streams) for i in range(n_streams + 1)]
+        chunks = [dev_array[lo:hi] for lo, hi in zip(bounds, bounds[1:])
+                  if hi > lo] if n_streams > 1 else [dev_array]
         futs = [pool.submit(np.asarray, c) for c in chunks]
 
         def assemble():
@@ -1484,21 +1494,22 @@ class ChannelARCodec:
         with ThreadPoolExecutor(max_workers=1) as enc_pool, \
                 ThreadPoolExecutor(max_workers=2) as dec_pool:
             enc_futs = [
-                enc_pool.submit(self.compress_device_analytic, x, lv, k)
+                enc_pool.submit(self.compress_device_analytic, x, lv, k,
+                                keep_source=True)
                 for x in batches
             ]
 
             def dec_dispatch(ef):
                 enc = ef.result()
+                # drop the pinned source as soon as decode consumed it
                 d = self.decompress_device_analytic(
-                    enc, raw_u8=True, psnr_vs=enc["x_dev"]
+                    enc, raw_u8=True, psnr_vs=enc.pop("x_dev")
                 )
                 return enc, d["psnr"]
 
             dec_futs = [dec_pool.submit(dec_dispatch, ef) for ef in enc_futs]
             for i, df in enumerate(dec_futs):
                 enc, psnr = df.result()
-                enc.pop("x_dev", None)
                 results[i] = {"enc": enc, "psnr": np.asarray(psnr)}
         return results
 

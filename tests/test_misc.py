@@ -51,3 +51,21 @@ def test_extra_gain_layers():
     nla_bug = NonLocalAttention(6, passthrough_bug=True)
     y2 = nla_bug.apply(v, x)
     np.testing.assert_array_equal(np.asarray(y2), np.asarray(x))
+
+
+def test_fetch_multistream_uneven_batches():
+    """Chunked device->host fetch reassembles exactly for any batch size
+    (including sizes not divisible by the stream count)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reslic_tcm_tpu.models.base import ChannelARCodec
+
+    f = ChannelARCodec.fetch_multistream
+    for b in (1, 2, 3, 4, 5, 6, 7, 8):
+        arr = jnp.arange(b * 12, dtype=jnp.uint8).reshape(b, 12)
+        with ThreadPoolExecutor(4) as pool:
+            out = f(None, arr, pool, 4)()
+        np.testing.assert_array_equal(out, np.asarray(arr))
