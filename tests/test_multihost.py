@@ -61,3 +61,29 @@ def test_two_process_dp_matches_single_process():
     assert single.returncode == 0, out
     ref = _loss(out)
     np.testing.assert_allclose(losses[0], ref, rtol=1e-5)
+
+
+def test_local_batch_size_and_distribute_single_process():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from reslic_tcm_tpu.parallel.mesh import make_mesh
+    from reslic_tcm_tpu.parallel.multihost import (
+        distribute_batch,
+        is_coordinator,
+        local_batch_size,
+    )
+
+    assert is_coordinator()
+    assert jax.process_count() == 1
+    assert local_batch_size(16) == 16  # single process: local == global
+    assert local_batch_size(7) == 7
+
+    mesh = make_mesh(n_data=4, n_model=1)
+    x = np.arange(4 * 2 * 2 * 3, dtype=np.float32).reshape(4, 2, 2, 3)
+    arr = distribute_batch(mesh, x)
+    assert arr.shape == x.shape
+    np.testing.assert_array_equal(np.asarray(arr), x)
+    # actually sharded over 'data'
+    assert len(arr.sharding.device_set) == 4
