@@ -63,7 +63,20 @@ def main(port: int, nproc: int, pid: int) -> None:
         )
         loss = float(metrics["loss"])
         aux = float(metrics["aux_loss"])
-    print(f"MHLOSS {loss:.8f} {aux:.8f}", flush=True)
+
+    # the train CLI's validation path: a process-LOCAL param copy through a
+    # shardings-free jit (global-mesh params would mix device sets)
+    from reslic_tcm_tpu.training.step import make_eval_step
+
+    if jax.process_count() > 1:
+        eval_p = jax.tree_util.tree_map(
+            lambda a: np.asarray(a.addressable_data(0)), state.params
+        )
+    else:
+        eval_p = state.params
+    ev = jax.jit(make_eval_step(module))
+    out = ev(eval_p, jnp.asarray(global_batch), jnp.float32(0.0067))
+    print(f"MHLOSS {loss:.8f} {aux:.8f} {float(out['loss']):.8f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -41,8 +41,8 @@ def _run(port, nproc, pid):
 def _loss(out: str):
     for line in out.splitlines():
         if line.startswith("MHLOSS"):
-            _, loss, aux = line.split()
-            return float(loss), float(aux)
+            parts = line.split()
+            return tuple(float(p) for p in parts[1:])
     raise AssertionError(f"no MHLOSS line in output:\n{out}")
 
 
