@@ -206,3 +206,29 @@ def _regen():
 if __name__ == "__main__":
     if "--regen" in sys.argv:
         _regen()
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_cpp_matches_python_model_randomized(seed):
+    """Seeded random sweep: tables of varying width/support, symbols spanning
+    in-support, negative-escape, and overflow-escape ranges — C++ and the
+    independent Python model must agree byte-for-byte on every stream."""
+    rng = np.random.default_rng(1000 + seed)
+    n_rows = int(rng.integers(1, 12))
+    table, lens, offs, _ = _make_tables(rng, n_rows, int(rng.integers(4, 40)))
+    n = int(rng.integers(1, 700))
+    idx = rng.integers(0, n_rows, size=n).astype(np.int32)
+    span = int(rng.integers(1, 60))
+    syms = np.array(
+        [int(rng.integers(-span, lens[i] + span)) + offs[i] for i in idx],
+        np.int32,
+    )
+    cpp = rans.encode_with_indexes(syms, idx, table, lens, offs)
+    py = pymodel.encode(syms.tolist(), idx.tolist(), table.tolist(),
+                        lens.tolist(), offs.tolist())
+    assert cpp == py
+    np.testing.assert_array_equal(
+        np.asarray(pymodel.decode(cpp, idx.tolist(), table.tolist(),
+                                  lens.tolist(), offs.tolist()), np.int32),
+        syms,
+    )
