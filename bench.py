@@ -15,17 +15,65 @@ per-transfer costs across images.
 from __future__ import annotations
 
 import argparse
+import atexit
 import json
 import os
+import signal
 import sys
 import time
 
+# --- guaranteed-emission machinery ------------------------------------
+# The harness must ALWAYS receive one JSON line, even if the tunnel wedges
+# mid-run or the harness SIGTERMs us at its timeout. A single mutable
+# record is updated as profiles complete; emit-once guards duplicates.
+_RECORD = {
+    "metric": "tcm_n128_encdec_throughput",
+    "value": 0.0,
+    "unit": "MP/s/chip",
+    "vs_baseline": 0.0,
+    "error": "bench did not complete (no profile finished)",
+}
+_EMITTED = False
 
-def _device_available(attempts: int = 10, probe_timeout: int = 90,
-                      retry_sleep: int = 120) -> bool:
+
+def _emit():
+    global _EMITTED
+    if not _EMITTED:
+        _EMITTED = True
+        sys.stdout.write(json.dumps(_RECORD) + "\n")
+        sys.stdout.flush()
+
+
+def _on_term(signum, frame):
+    print(f"# signal {signum}: flushing best-so-far JSON", file=sys.stderr)
+    _emit()
+    os._exit(0 if _RECORD["value"] > 0 else 1)
+
+
+atexit.register(_emit)
+signal.signal(signal.SIGTERM, _on_term)
+signal.signal(signal.SIGINT, _on_term)
+
+
+def _update_record(mps: float, mode: str, psnr=None, bpp=None):
+    """Fold a completed profile into the pending record (best wins)."""
+    if mps > _RECORD["value"]:
+        _RECORD["value"] = round(mps, 3)
+        _RECORD["vs_baseline"] = round(mps / 20.0, 4)
+        _RECORD["profile"] = mode
+        _RECORD.pop("error", None)
+        if psnr is not None:
+            _RECORD["psnr_db"] = round(float(psnr), 2)
+        if bpp is not None:
+            _RECORD["bpp"] = round(float(bpp), 4)
+
+
+def _device_available(attempts: int = 4, probe_timeout: int = 45,
+                      retry_sleep: int = 20) -> bool:
     """Probe the TPU from a SUBPROCESS with a hard timeout (a wedged axon
-    relay hangs jax.devices() indefinitely in-process). Retries for up to
-    ~20 min — the tunnel sometimes recovers."""
+    relay hangs jax.devices() indefinitely in-process). Total probe window
+    is bounded to ~4 min (4x45s probes + 3x20s sleeps) so the failure JSON
+    always lands inside the harness budget."""
     import subprocess
 
     for i in range(attempts):
@@ -69,18 +117,24 @@ def main(argv=None):
                    help="measure the streamed profile: pipelined encode over "
                         "NBATCH batches (host rANS overlaps device compute) "
                         "+ 2-way threaded decode")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="orbax checkpoint to bench instead of the scaled "
+                        "random init (realistic symbol statistics; reports "
+                        "real PSNR in the JSON record)")
     args = p.parse_args(argv)
+
+    _RECORD["metric"] = f"tcm_n{args.N}_encdec_throughput"
+    _RECORD["precision"] = "fp32" if args.fp32 else "bf16"
+    if args.checkpoint:
+        _RECORD["weights"] = "trained"
 
     if not args.cpu and not _device_available():
         # A wedged tunnel makes every jax call (even jax.devices()) hang
         # forever; report the failure instead of hanging the harness.
         print("# TPU unreachable (device probe timed out after retries)",
               file=sys.stderr)
-        print(json.dumps({
-            "metric": "tcm_n128_encdec_throughput", "value": 0.0,
-            "unit": "MP/s/chip", "vs_baseline": 0.0,
-            "error": "tpu device unreachable (tunnel down)",
-        }))
+        _RECORD["error"] = "tpu device unreachable (tunnel down)"
+        _emit()
         return 1
 
     import jax
@@ -117,6 +171,17 @@ def main(argv=None):
     if (args.fused_attn or not args.fp32) and dev.platform != "cpu":
         enable_fused_attention(True)
 
+    if args.checkpoint:
+        # Real trained weights: realistic symbol entropy / escape rates for
+        # the coder load, and a real PSNR next to the throughput number.
+        from reslic_tcm_tpu.utils.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(args.checkpoint)
+        tr = restored["state"]["params"] if "state" in restored else restored["params"]
+        codec.variables = {"params": jax.tree_util.tree_map(jnp.asarray, tr)}
+        codec.update()
+        return _run_profiles(args, codec, jax, jnp, np)
+
     # Random init produces absurd-entropy latents; scale the latent-producing
     # convs and the (mu, sigma) heads so symbol statistics resemble a trained
     # model (~0.3-1 bpp y + small sigma), which is what the host coder sees
@@ -145,9 +210,10 @@ def main(argv=None):
             leaf["bias"] = leaf["bias"] * (0.0 if nm == "cc_scale" else 0.02)
     codec.variables = {"params": params}
     codec.update()
+    return _run_profiles(args, codec, jax, jnp, np)
 
-    rng = np.random.default_rng(0)
 
+def _run_profiles(args, codec, jax, jnp, np):
     def img(seed):
         r = np.random.default_rng(seed)
         g = r.uniform(size=(1, args.height // 16, args.width // 16, 3))
@@ -174,6 +240,9 @@ def main(argv=None):
         best = min(best, t2 - t0)
         enc_best = min(enc_best, t1 - t0)
         dec_best = min(dec_best, t2 - t1)
+
+    mp = args.batch * args.height * args.width / 1e6
+    _update_record(mp / best, "batch_host_coder")
 
     stream_mps = 0.0
     if args.stream:
@@ -223,6 +292,7 @@ def main(argv=None):
             f"-> {stream_mps:.2f} MP/s",
             file=sys.stderr,
         )
+        _update_record(stream_mps, "stream_host_coder")
 
     duplex_mps = 0.0
     if args.stream:
@@ -251,6 +321,7 @@ def main(argv=None):
             f"total={dt*1000:.0f}ms -> {duplex_mps:.2f} MP/s",
             file=sys.stderr,
         )
+        _update_record(duplex_mps, "duplex_pipelined")
 
     # TPU-native serving profile: fused one-program analytic codec (packed
     # RGB input, raw-u8 output, single-container streams), pipelined.
@@ -294,6 +365,7 @@ def main(argv=None):
             f"(bpp={srv_bpp:.3f})",
             file=sys.stderr,
         )
+        _update_record(serving_mps, "serving_rgb_delivery", bpp=srv_bpp)
 
     # On-device-verification serving profile: decode computes per-image
     # PSNR against the encoder's device-resident source; only the bitstream
@@ -321,6 +393,7 @@ def main(argv=None):
             f"(psnr={psnrs.mean():.2f})",
             file=sys.stderr,
         )
+        _update_record(metrics_mps, "metrics_serving", psnr=psnrs.mean())
 
     device_mps = 0.0
     if args.device_coder:
@@ -340,10 +413,8 @@ def main(argv=None):
             f"-> {device_mps:.2f} MP/s ({enc['nbytes']} bytes)",
             file=sys.stderr,
         )
+        _update_record(device_mps, "device_coder")
 
-    mp = args.batch * args.height * args.width / 1e6
-    mps = max(mp / best, device_mps, stream_mps, duplex_mps, serving_mps,
-              metrics_mps)
     nbytes = sum(
         len(e["strings"][0][0]) + sum(len(s) for s in e["strings"][1]) for e in encs
     )
@@ -353,16 +424,7 @@ def main(argv=None):
         f"bpp={bpp:.3f}",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"tcm_n{args.N}_encdec_throughput",
-                "value": round(mps, 3),
-                "unit": "MP/s/chip",
-                "vs_baseline": round(mps / 20.0, 4),
-            }
-        )
-    )
+    _emit()
 
 
 if __name__ == "__main__":
