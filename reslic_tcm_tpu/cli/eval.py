@@ -47,12 +47,96 @@ def parse_args(argv):
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 MXU precision + flash attention "
                              "kernels (throughput mode)")
+    parser.add_argument("--model", type=str, default="tcm",
+                        help="registry model to evaluate (default tcm, the "
+                             "reference eval's hardcoded choice; any "
+                             "models_dict name works — stanh/gain variants "
+                             "evaluate every rate level)")
+    parser.add_argument("--lambda_list", nargs="+", type=float,
+                        default=[0.0025],
+                        help="rate levels for multi-rate models (gain/stanh)")
+    parser.add_argument("--lv", type=int, default=-1,
+                        help="evaluate only this rate level (-1 = all)")
     args = parser.parse_args(argv)
     return args
 
 
+def _eval_generic(args):
+    """Evaluate any registry model (the reference eval.py:86 hardcodes TCM;
+    this framework exposes its full model zoo through the same CLI)."""
+    import jax
+    import jax.numpy as jnp
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from ..data.datasets import list_images
+    from ..models import get_model
+    from ..training.codec_eval import compress_with_ac
+    from ..utils.checkpoint import load_checkpoint
+    from ..utils.metrics import compute_psnr
+    from ..utils.parser import parse_args as train_parse
+
+    img_list = list_images(args.data)
+    if not img_list:
+        print(f"no images under {args.data}")
+        return 1
+    if args.model == "scale_gain_sc":
+        print("scale_gain_sc needs a quality map input; evaluate it via "
+              "tests/test_gain_models.py or a custom driver")
+        return 1
+
+    targs = train_parse([])
+    targs.model, targs.N, targs.M = args.model, args.N, args.M
+    targs.lambda_list = args.lambda_list
+    net, *_ = get_model(targs, input_shape=(256, 256))
+
+    if args.checkpoint:
+        print("Loading", args.checkpoint)
+        restored = load_checkpoint(args.checkpoint)
+        params = (restored["state"]["params"] if "state" in restored
+                  else restored["params"])
+        net.variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+    n_levels = getattr(net.module, "n_rates",
+                       getattr(net.module, "levels", 1))
+    levels = [args.lv] if args.lv >= 0 else list(range(n_levels))
+
+    if args.real:
+        net.update()
+        for lv in levels:
+            bpp, psnr_v = compress_with_ac(net, img_list, lv=lv)
+            print(f"[level {lv}] average_Bit-rate: {bpp:.3f} bpp | "
+                  f"average_PSNR: {psnr_v:.2f}dB")
+        return 0
+
+    from ..data.datasets import read_image
+    from ..ops.math import compute_padding, crop_nhwc, pad_nhwc
+
+    for lv in levels:
+        PSNR = Bit_rate = 0.0
+        for img_path in img_list:
+            x = jnp.asarray(read_image(img_path))[None]
+            h, w = x.shape[1], x.shape[2]
+            pad, _ = compute_padding(h, w, 128)
+            xp = pad_nhwc(x, pad)
+            out = net.forward(xp, training=False, lv=lv)
+            x_hat = crop_nhwc(jnp.clip(out["x_hat"], 0, 1), pad)
+            num_pixels = xp.shape[1] * xp.shape[2]
+            Bit_rate += float(sum(
+                -jnp.log2(l).sum() for l in out["likelihoods"].values()
+            ) / num_pixels)
+            PSNR += compute_psnr(x, x_hat)
+        n = len(img_list)
+        print(f"[level {lv}] average_PSNR: {PSNR/n:.2f}dB | "
+              f"average_Bit-rate: {Bit_rate/n:.3f} bpp")
+    return 0
+
+
 def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
+    if args.model != "tcm":
+        return _eval_generic(args)
 
     import jax
 

@@ -286,18 +286,23 @@ def main(argv=None):
                 save_checkpoint(very_best, state, payload_extra)
             else:
                 save_checkpoint(filename, state, payload_extra)
-            # Prune older per-epoch checkpoints (keep the one just written
-            # and _very_best). The reference keeps every epoch file
+            # Prune older per-epoch checkpoints: keep _very_best plus the 2
+            # most recent epoch files (by mtime — filenames embed the date,
+            # so a rerun on a later day must not orphan-and-delete an
+            # earlier run's latest). The reference keeps every epoch file
             # (helper.py:55-73); at hundreds of epochs that's tens of GB
             # of optimizer state for no recovery value.
             import shutil
 
-            keep = {os.path.basename(p) for p in
-                    (filename, filename_best, very_best)}
-            for entry in os.listdir(cartella):
-                if entry.endswith(".ckpt") and entry not in keep:
-                    shutil.rmtree(os.path.join(cartella, entry),
-                                  ignore_errors=True)
+            epochs_on_disk = sorted(
+                (e for e in os.listdir(cartella)
+                 if e.endswith(".ckpt") and e != os.path.basename(very_best)),
+                key=lambda e: os.path.getmtime(os.path.join(cartella, e)),
+                reverse=True,
+            )
+            for entry in epochs_on_disk[2:]:
+                shutil.rmtree(os.path.join(cartella, entry),
+                              ignore_errors=True)
 
         codec.variables = {"params": state.params}
         sec_to_hours(time.time() - start)

@@ -202,12 +202,19 @@ class HyperpriorCodec:
     def _medians(self):
         return np.asarray(self.params["entropy_bottleneck"]["quantiles"][:, 0, 1])
 
-    def forward(self, x, training: bool = False, rng=None):
+    def forward(self, x, training: bool = False, rng=None, lv: int = 0):
+        # plain Balle modules take no rate level; gain/stanh subclasses do
+        import inspect
+
+        takes_lv = "lv" in inspect.signature(type(self.module).__call__).parameters
+        kw = {"lv": lv} if takes_lv else {}
         if training:
             rngs = {"noise": rng if rng is not None else jax.random.PRNGKey(0)}
-            return self.module.apply(self.variables, x, training=True, rngs=rngs)
+            return self.module.apply(self.variables, x, training=True,
+                                     rngs=rngs, **kw)
         return self._jit(
-            "fwd", lambda v, xx: self.module.apply(v, xx, training=False)
+            f"fwd_{lv if takes_lv else 0}",
+            lambda v, xx: self.module.apply(v, xx, training=False, **kw),
         )(self.variables, x)
 
     def aux_loss(self):

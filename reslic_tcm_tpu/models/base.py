@@ -400,12 +400,14 @@ class ChannelARCodec:
 
     # ------------------------------- forward -------------------------------
 
-    def forward(self, x, training: bool = False, rng=None):
+    def forward(self, x, training: bool = False, rng=None, lv: int = 0):
         if training:
             rngs = {"noise": rng if rng is not None else jax.random.PRNGKey(0)}
-            return self.module.apply(self.variables, x, training=True, rngs=rngs)
+            return self.module.apply(self.variables, x, training=True, lv=lv,
+                                     rngs=rngs)
         fn = self._jit(
-            "fwd_eval", lambda v, xx: self.module.apply(v, xx, training=False)
+            f"fwd_eval_{lv}",
+            lambda v, xx: self.module.apply(v, xx, training=False, lv=lv),
         )
         return fn(self.variables, x)
 
@@ -1416,7 +1418,8 @@ class ChannelARCodec:
         out = fn(*args)
         return {"rgb_raw": out} if raw_u8 else {"x_hat": out}
 
-    def fetch_multistream(self, dev_array, pool, n_streams: int = 4):
+    @staticmethod
+    def fetch_multistream(dev_array, pool, n_streams: int = 4):
         """Fetch a device array as n concurrent chunk transfers.
 
         The tunneled device->host link is per-stream windowed (~36 MB/s one

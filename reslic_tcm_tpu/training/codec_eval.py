@@ -36,9 +36,13 @@ def compress_with_ac(codec, filelist, lv: int = 0, min_div: int = 64,
         try:
             enc = codec.compress(x_padded, lv=lv)
             dec = codec.decompress(enc["strings"], enc["shape"], lv=lv)
-        except TypeError:  # codecs without a rate level argument
-            enc = codec.compress(x_padded)
-            dec = codec.decompress(enc["strings"], enc["shape"])
+        except TypeError:
+            try:  # gain codecs use (s, l) discrete/interp levels
+                enc = codec.compress(x_padded, s=lv)
+                dec = codec.decompress(enc["strings"], enc["shape"], s=lv)
+            except TypeError:  # codecs without a rate level argument
+                enc = codec.compress(x_padded)
+                dec = codec.decompress(enc["strings"], enc["shape"])
 
         x_hat = crop_nhwc(jnp.clip(dec["x_hat"], 0, 1), pad)
         bpp, bpp_h, bpp_y = bpp_calculation(h * w, enc["strings"])

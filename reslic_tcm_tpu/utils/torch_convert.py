@@ -39,7 +39,7 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 _SKIP_SUFFIXES = ("_quantized_cdf", "_offset", "_cdf_length", "scale_table",
-                  "relative_position_index")
+                  "relative_position_index", ".target")
 
 
 def _t_conv(w):  # OIHW -> HWIO
@@ -54,12 +54,19 @@ def _t_linear(w):  # OI -> IO
     return np.ascontiguousarray(w.T)
 
 
-def _translate_path(path: tuple, deconv_paths: set) -> tuple[str, Any]:
-    """My linen param path -> (torch key, tensor transform)."""
+def _translate_path(path: tuple, deconv_paths: set) -> tuple[str, Any, list]:
+    """My linen param path -> (torch key, tensor transform, alternate keys).
+
+    Alternates cover the one syntactically ambiguous case: a Conv wrapper
+    named "conv" whose child is the nn.Conv "conv" is EITHER a bare
+    SubpelConv3x3 placed directly in a Sequential (torch "<idx>.0.weight")
+    OR ResidualBlockUpsample's mid conv (torch "<idx>.conv.weight"); the
+    caller resolves by key presence in the state dict."""
     parts = list(path)
     leaf = parts[-1]
 
     out: list[str] = []
+    amb: list[int] = []  # indices in `out` where "0" could instead be "conv"
     i = 0
     transform = None
     while i < len(parts) - 1:
@@ -84,15 +91,19 @@ def _translate_path(path: tuple, deconv_paths: set) -> tuple[str, Any]:
         elif p == "mlp2":
             out.extend(["mlp", "2"])
         elif p == "subpel" or p == "upsample":
-            # SubpelConv3x3 = Sequential(conv, PixelShuffle) in torch
-            out.extend([p, "0"])
+            # SubpelConv3x3 = Sequential(conv, PixelShuffle) in torch;
+            # compressai's ResidualBlockUpsample names the main branch
+            # "subpel_conv" (the skip stays "upsample")
+            out.extend(["subpel_conv" if p == "subpel" else p, "0"])
             i += 1  # consume the inner Conv wrapper ("conv")
             if i < len(parts) - 1 and parts[i] == "conv":
                 i += 1  # consume nn.Conv child too
             i -= 1  # realign (loop will i += 1)
         elif p == "conv" and i + 1 < len(parts) - 1 and parts[i + 1] == "conv":
             # SubpelConv3x3 placed directly in a Sequential: torch wraps the
-            # conv in Sequential(conv, PixelShuffle) -> "<idx>.0.weight"
+            # conv in Sequential(conv, PixelShuffle) -> "<idx>.0.weight";
+            # ambiguous with ResidualBlockUpsample's mid conv ("<idx>.conv")
+            amb.append(len(out))
             out.append("0")
             i += 1  # skip inner nn.Conv wrapper
         elif re.fullmatch(r"conv[123]?", p) and i + 1 < len(parts) - 1 and parts[i + 1] == "conv":
@@ -113,15 +124,25 @@ def _translate_path(path: tuple, deconv_paths: set) -> tuple[str, Any]:
         i += 1
 
     if leaf == "kernel":
-        tkey = ".".join(out) + ".weight"
+        suffix = ".weight"
         transform = _t_deconv if tuple(path[:-1]) in deconv_paths else None
     elif leaf == "bias" and not re.fullmatch(r"bias\d", parts[-2] if len(parts) > 1 else ""):
-        tkey = ".".join(out) + ".bias"
+        suffix = ".bias"
     elif leaf == "scale":
-        tkey = ".".join(out) + ".weight"
+        suffix = ".weight"
     else:
+        suffix = None
+    if suffix is None:
         tkey = ".".join(out + [leaf])
-    return tkey, transform
+        alts = []
+    else:
+        tkey = ".".join(out) + suffix
+        alts = []
+        for j in amb:
+            alt = list(out)
+            alt[j] = "conv"
+            alts.append(".".join(alt) + suffix)
+    return tkey, transform, alts
 
 
 def convert_state_dict(state_dict: Dict[str, np.ndarray], params: Any,
@@ -163,8 +184,14 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], params: Any,
 
     for path, leaf in flat:
         names = tuple(getattr(k, "key", str(k)) for k in path)
-        tkey, transform = _translate_path(names, deconv_paths)
+        tkey, transform, alts = _translate_path(names, deconv_paths)
         tkey = finalize_key(tkey)
+        if tkey not in state_dict:
+            for alt in alts:
+                alt = finalize_key(alt)
+                if alt in state_dict:
+                    tkey = alt
+                    break
         if tkey not in state_dict:
             missing.append((".".join(names), tkey))
             new_leaves[names] = leaf

@@ -67,5 +67,5 @@ def test_fetch_multistream_uneven_batches():
     for b in (1, 2, 3, 4, 5, 6, 7, 8):
         arr = jnp.arange(b * 12, dtype=jnp.uint8).reshape(b, 12)
         with ThreadPoolExecutor(4) as pool:
-            out = f(None, arr, pool, 4)()
+            out = f(arr, pool, 4)()
         np.testing.assert_array_equal(out, np.asarray(arr))

@@ -37,7 +37,7 @@ def _torch_names_for(params, path=()):
     out = {}
     for p, leaf in flat:
         names = tuple(getattr(k, "key", str(k)) for k in p)
-        tkey, _ = _translate_path(names, deconv_paths)
+        tkey, _, _ = _translate_path(names, deconv_paths)
         tkey = re.sub(r"\bentropy_bottleneck\.(matrix|bias|factor)(\d)",
                       r"entropy_bottleneck._\1\2", tkey)
         out[tkey] = (names, leaf.shape)
@@ -60,7 +60,7 @@ def test_spot_check_translated_names(tiny):
         "g_a.1.trans_block.mlp.0.weight",
         "g_a.1.trans_block.mlp.2.weight",
         "g_a.9.weight",                  # conv3x3 -> M
-        "g_s.0.subpel.0.weight",         # ResidualBlockUpsample
+        "g_s.0.subpel_conv.0.weight",    # ResidualBlockUpsample
         "g_s.0.igdn.beta",
         "g_s.0.upsample.0.weight",
         "g_s.9.0.weight",                # final subpel conv
