@@ -56,8 +56,8 @@ def _erf_poly(x):
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, lns_ref,
             lnb_ref, bias_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
-            b2_ref, o_ref, *, C, hd, w, shifted, nwh, nww, compute_dtype,
-            with_mlp, tile):
+            b2_ref, seg_ref, o_ref, *, C, hd, w, shifted, nwh, nww,
+            compute_dtype, with_mlp, tile, layout):
     H = C // hd
     T = w * w  # tokens per window
     cd = compute_dtype
@@ -93,10 +93,14 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, lns_ref,
     cols_h = jax.lax.broadcasted_iota(jnp.int32, (H * T, C), 1) // hd
     head_mask = (rows_h == cols_h).astype(jnp.float32)
 
+    hp = layout == "hp"
+    score_shape = (T, H * T) if hp else (H * T, T)
     if shifted:
-        # standard swin boundary masks, built from iota + program ids
-        p_tok = jax.lax.broadcasted_iota(jnp.int32, (H * T, T), 0) % T
-        q_tok = jax.lax.broadcasted_iota(jnp.int32, (H * T, T), 1)
+        # standard swin boundary masks, built from iota + program ids.
+        # 'bd': rows (h,p) -> %T gives p, lanes q. 'hp': rows p, lanes
+        # (h,q) -> %T gives q. The same formulas cover both layouts.
+        p_tok = jax.lax.broadcasted_iota(jnp.int32, score_shape, 0) % T
+        q_tok = jax.lax.broadcasted_iota(jnp.int32, score_shape, 1) % T
         s = w // 2
         p_r, q_r = p_tok // w, q_tok // w
         p_c, q_c = p_tok % w, q_tok % w
@@ -113,13 +117,6 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, lns_ref,
         k = qkv[t * T : (t + 1) * T, C : 2 * C]
         v = qkv[t * T : (t + 1) * T, 2 * C :]
 
-        qt = jnp.concatenate([q] * H, axis=0) * head_mask  # [H*T, C]
-        scores = jax.lax.dot_general(
-            qt.astype(cd), k.astype(cd), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [H*T, T] rows (h, p), lanes q
-        scores = scores + bias_ref[:].astype(jnp.float32)
-
         if shifted:
             # column blocking applies only to the image's last window,
             # i.e. the last window of the last tile
@@ -127,18 +124,78 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, lns_ref,
             pen = (
                 blocked_r.astype(jnp.float32) * is_last_i
                 + blocked_c.astype(jnp.float32) * is_last_j
-            )
-            scores = scores + pen * NEG_INF
+            ) * NEG_INF
 
-        probs = jax.nn.softmax(scores, axis=-1)
-        outf = jax.lax.dot_general(
-            probs.astype(cd), v.astype(cd), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [H*T, C]
-        outf = outf * head_mask
-        out = outf[:T]
-        for h in range(1, H):
-            out = out + outf[h * T : (h + 1) * T]
+        if hp:
+            # Head-packed layout: scores [T, H*T] (rows p, lanes (h, q))
+            # from ONE matmul of the dense q against the masked-replicated
+            # K, and PV contracts the full (h, q) lane axis against the
+            # masked-replicated V, emitting the head-combined [T, C]
+            # directly — no output mask, no H-term row reduce. MXU cost
+            # per weight tile streams M=T rows instead of M=H*T: scores
+            # and PV each drop 2x vs 'bd' (output-bandwidth floor).
+            k_bd = jnp.concatenate([k] * H, axis=0) * head_mask  # [H*T, C]
+            scores = jax.lax.dot_general(
+                q.astype(cd), k_bd.astype(cd), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, H*T]
+            scores = scores + bias_ref[:].astype(jnp.float32)
+            if shifted:
+                scores = scores + pen
+            # Segment softmax: subtracting the ROW-global max is valid for
+            # every (p, h) segment (softmax is shift-invariant and the row
+            # max is constant across the row); exp then never overflows.
+            # Normalization is deferred PAST the PV matmul: segment sums
+            # come from one [T,H*T]x[H*T,H] indicator matmul and divide
+            # the combined output per head's channel block. A segment
+            # sitting ~87+ below the row max underflows to 0/eps -> that
+            # head contributes ~0 (score spreads that wide do not occur
+            # post-LN; guarded against 0/0 regardless).
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            v_bd = jnp.concatenate([v] * H, axis=0) * head_mask  # [H*T, C]
+            out = jax.lax.dot_general(
+                e.astype(cd), v_bd.astype(cd), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, C], heads already combined
+            segsum = jax.lax.dot_general(
+                e.astype(cd), seg_ref[:].astype(cd),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, H]
+            recip = 1.0 / jnp.maximum(segsum, 1e-30)
+            # broadcast [T, H] -> [T, C] over each head's hd channels via
+            # a tiny indicator matmul (lane-repeat is not reliably
+            # lowerable in Mosaic)
+            seg2 = (
+                jax.lax.broadcasted_iota(jnp.int32, (H, C), 1) // hd
+                == jax.lax.broadcasted_iota(jnp.int32, (H, C), 0)
+            ).astype(jnp.float32)
+            rb = jax.lax.dot_general(
+                recip, seg2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out = out * rb
+        else:
+            qt = jnp.concatenate([q] * H, axis=0) * head_mask  # [H*T, C]
+            scores = jax.lax.dot_general(
+                qt.astype(cd), k.astype(cd), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [H*T, T] rows (h, p), lanes q
+            scores = scores + bias_ref[:].astype(jnp.float32)
+
+            if shifted:
+                scores = scores + pen
+
+            probs = jax.nn.softmax(scores, axis=-1)
+            outf = jax.lax.dot_general(
+                probs.astype(cd), v.astype(cd), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [H*T, C]
+            outf = outf * head_mask
+            out = outf[:T]
+            for h in range(1, H):
+                out = out + outf[h * T : (h + 1) * T]
         outs.append(out)
 
     out_all = jnp.concatenate(outs, axis=0)  # [tile*T, C]
@@ -191,12 +248,16 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, lns_ref,
 def flash_window_block(x, wqkv, bqkv, wproj, bproj, ln_scale, ln_bias,
                        rel_bias, mlp=None, *, head_dim, window, shifted,
                        compute_dtype=jnp.bfloat16, interpret=False,
-                       tile: int | None = None):
+                       tile: int | None = None, layout: str = "hp"):
     """x: NHWC [B, H, W, C] (H, W divisible by window; pre-roll for SW).
     rel_bias: [n_heads, w*w, w*w]. Returns x + proj(attn(LN(x))), and with
     mlp=(ln2_s, ln2_b, w1, b1, w2, b2) the full Swin sub-block including
     the LN2/MLP residual branch. One grid step per window; everything
-    VMEM-resident."""
+    VMEM-resident.
+
+    layout: 'hp' (head-packed, default — scores [T, H*T], PV emits the
+    combined [T, C], 2x fewer MXU cycles on score/PV) or 'bd' (the
+    original block-diagonal [H*T, T] layout, kept for A/B measurement)."""
     b, hgt, wid, C = x.shape
     w = window
     assert hgt % w == 0 and wid % w == 0, (hgt, wid, w)
@@ -214,7 +275,18 @@ def flash_window_block(x, wqkv, bqkv, wproj, bproj, ln_scale, ln_bias,
                 break
     assert nww % tile == 0, (nww, tile)
 
-    bias_s = rel_bias.reshape(H * T, T).astype(jnp.float32)
+    if layout == "hp":
+        # [H, T, T] -> [T, H*T]: lanes h-major, q-minor
+        bias_s = jnp.transpose(rel_bias, (1, 0, 2)).reshape(T, H * T)
+        bias_s = bias_s.astype(jnp.float32)
+    else:
+        bias_s = rel_bias.reshape(H * T, T).astype(jnp.float32)
+    # segment-sum indicator [H*T, H] (hp softmax normalization); tiny
+    # constant, VMEM-resident
+    seg = (
+        np.arange(H * T)[:, None] // T == np.arange(H)[None, :]
+    ).astype(np.float32)
+    seg = jnp.asarray(seg)
     with_mlp = mlp is not None
     if with_mlp:
         ln2s, ln2b, w1, b1, w2, b2 = mlp
@@ -229,6 +301,7 @@ def flash_window_block(x, wqkv, bqkv, wproj, bproj, ln_scale, ln_bias,
     kern = partial(
         _kernel, C=C, hd=head_dim, w=w, shifted=shifted, nwh=nwh, nww=nww,
         compute_dtype=compute_dtype, with_mlp=with_mlp, tile=tile,
+        layout=layout,
     )
     const = lambda *_: (0, 0)  # noqa: E731
     return pl.pallas_call(
@@ -243,13 +316,14 @@ def flash_window_block(x, wqkv, bqkv, wproj, bproj, ln_scale, ln_bias,
             pl.BlockSpec((1, C), const),
             pl.BlockSpec((1, C), const),
             pl.BlockSpec((1, C), const),
-            pl.BlockSpec((H * T, T), const),
+            pl.BlockSpec(bias_s.shape, const),
             pl.BlockSpec((1, C), const),
             pl.BlockSpec((1, C), const),
             pl.BlockSpec((C, hid), const),
             pl.BlockSpec((1, hid), const),
             pl.BlockSpec((hid, C), const),
             pl.BlockSpec((1, C), const),
+            pl.BlockSpec((H * T, H), const),
         ],
         out_specs=pl.BlockSpec((1, w, tile * w, C),
                                lambda i, j, kk: (i, j, kk, 0)),
@@ -272,6 +346,7 @@ def flash_window_block(x, wqkv, bqkv, wproj, bproj, ln_scale, ln_bias,
         b1.reshape(1, -1),
         w2,
         b2.reshape(1, -1),
+        seg,
     )
 
 

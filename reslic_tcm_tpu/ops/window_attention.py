@@ -90,12 +90,16 @@ class _Dense(nn.Module):
 
 # Global switch for the fused Pallas attention path (inference). Read at
 # trace time: set it BEFORE building/jitting a model.
-_FUSED_ATTENTION = {"enabled": False, "interpret": False}
+_FUSED_ATTENTION = {"enabled": False, "interpret": False, "layout": "hp"}
 
 
-def enable_fused_attention(on: bool = True, interpret: bool = False):
+def enable_fused_attention(on: bool = True, interpret: bool = False,
+                           layout: str = "hp"):
+    """layout: 'hp' (head-packed scores, the fast path) or 'bd' (the
+    original block-diagonal layout, kept for A/B measurement)."""
     _FUSED_ATTENTION["enabled"] = on
     _FUSED_ATTENTION["interpret"] = interpret
+    _FUSED_ATTENTION["layout"] = layout
 
 
 def fused_attention_enabled() -> bool:
@@ -287,6 +291,7 @@ class SwinTransformerBlock(nn.Module):
             shifted=shifted,
             compute_dtype=sd if sd is not None else jnp.float32,
             interpret=_FUSED_ATTENTION["interpret"],
+            layout=_FUSED_ATTENTION["layout"],
         )
         if shifted:
             out = jnp.roll(out, shift=(w // 2, w // 2), axis=(1, 2))

@@ -9,7 +9,8 @@ from reslic_tcm_tpu.ops import window_attention as W
 
 
 @pytest.mark.parametrize("typ", ["W", "SW"])
-def test_fused_swin_transformer_block_matches_composed(typ):
+@pytest.mark.parametrize("layout", ["bd", "hp"])
+def test_fused_swin_transformer_block_matches_composed(typ, layout):
     """The flash kernel (LN+attn+proj+MLP in one pallas_call) matches the
     composed XLA SwinTransformerBlock."""
     m = W.SwinTransformerBlock(dim=16, head_dim=8, window_size=4, type=typ)
@@ -17,36 +18,56 @@ def test_fused_swin_transformer_block_matches_composed(typ):
     v = m.init(jax.random.PRNGKey(0), x)
     ref = np.asarray(m.apply(v, x))
     try:
-        W.enable_fused_attention(True, interpret=True)
+        W.enable_fused_attention(True, interpret=True, layout=layout)
         got = np.asarray(m.apply(v, x))
     finally:
         W.enable_fused_attention(False)
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
-def test_fused_swin_block_matches(tmp_path):
+@pytest.mark.parametrize("layout", ["bd", "hp"])
+def test_fused_swin_block_matches(tmp_path, layout):
     m = W.SwinBlock(dim=16, head_dim=8, window_size=4)
     x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 8, 8, 16)), jnp.float32)
     v = m.init(jax.random.PRNGKey(0), x)
     ref = np.asarray(m.apply(v, x))
     try:
-        W.enable_fused_attention(True, interpret=True)
+        W.enable_fused_attention(True, interpret=True, layout=layout)
         got = np.asarray(m.apply(v, x))
     finally:
         W.enable_fused_attention(False)
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
-def test_fused_window_count_not_divisible_by_tile():
-    """Window counts that don't divide the flash kernel's tile still match
-    the composed path (grid padding correctness)."""
-    # 8x12 input at window 4 -> 6 windows; SW adds masking on top.
+@pytest.mark.parametrize("layout", ["bd", "hp"])
+def test_fused_tile1_fallback_window_count_indivisible(layout):
+    """Window-row counts with no tile divisor >1 (nww=3 here) fall back to
+    the untiled kernel (tile=1) and still match the composed path. The
+    kernel has no grid-padding path: indivisible counts select tile=1."""
+    # 8x12 input at window 4 -> 3 window columns; SW adds masking on top.
     m = W.SwinTransformerBlock(dim=16, head_dim=8, window_size=4, type="SW")
     x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 8, 12, 16)), jnp.float32)
     v = m.init(jax.random.PRNGKey(2), x)
     ref = np.asarray(m.apply(v, x))
     try:
-        W.enable_fused_attention(True, interpret=True)
+        W.enable_fused_attention(True, interpret=True, layout=layout)
+        got = np.asarray(m.apply(v, x))
+    finally:
+        W.enable_fused_attention(False)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("layout", ["bd", "hp"])
+def test_fused_tile4_shifted_mask(layout):
+    """tile>1 with the shifted (SW) mask: 8x16 at window 4 -> nww=4 selects
+    tile=4, so one grid step carries a full row of 4 differently-masked
+    windows; must match the composed path exactly."""
+    m = W.SwinTransformerBlock(dim=16, head_dim=8, window_size=4, type="SW")
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 8, 16, 16)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(3), x)
+    ref = np.asarray(m.apply(v, x))
+    try:
+        W.enable_fused_attention(True, interpret=True, layout=layout)
         got = np.asarray(m.apply(v, x))
     finally:
         W.enable_fused_attention(False)
