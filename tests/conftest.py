@@ -19,6 +19,17 @@ import jax  # noqa: E402
 # environment; the config API wins over the plugin.
 jax.config.update("jax_platforms", "cpu")
 
+# Drop the axon backend factory entirely: jax's backends() initializes
+# every REGISTERED platform, and the tunneled plugin blocks indefinitely
+# (not fails) when the tunnel is down — which would hang the whole suite
+# at the first device use even on the cpu platform.
+try:  # noqa: SIM105
+    from jax._src import xla_bridge as _xb
+
+    _xb._backend_factories.pop("axon", None)
+except Exception:
+    pass
+
 # Persistent compilation cache: the suite's wall time is dominated by CPU
 # XLA compiles of the bigger models; caching them across sessions cuts
 # repeat runs by an order of magnitude.
