@@ -1,0 +1,150 @@
+"""Fused residual-conv Pallas kernels (TPU serving path).
+
+The stage-0 ConvTransBlock conv branches (ResidualBlock: conv3x3 ->
+leaky_relu -> conv3x3 -> leaky_relu -> +x, reference
+models/reference/tcm.py:239-287 via compressai.layers.ResidualBlock) are
+the largest remaining conv cost of the serving path: XLA's TPU conv
+lowering runs them at ~20-50% MXU and writes the intermediate activation
+to HBM between the two convs (docs/PERFORMANCE.md).
+
+This kernel runs BOTH convs and the activation/skip arithmetic on one
+VMEM-resident tile: the grid walks (B, H/Ht, W/Wt) output tiles, each
+step DMAs a (Ht+4, Wt+4) halo'd input block from HBM (overlapping halo
+reads are not expressible with blocked BlockSpecs, so the input stays an
+HBM ref and the kernel issues the copy itself), computes conv1 on the
+(Ht+2, Wt+2) ring as 9 tap matmuls accumulated in fp32, applies bias +
+leaky_relu, computes conv2 the same way, and adds the residual — the
+intermediate never touches HBM. Each tap matmul contracts the full
+C-lane width (C=128 for TCM conv branches), so the MXU streams
+M = tile-pixels rows per tap at full occupancy.
+
+Inference-only (no custom VJP): enabled through the same serving-mode
+switch pattern as the flash attention kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_SLOPE = 0.01  # torch F.leaky_relu default, used by the reference
+
+
+def _leaky(x):
+    return jnp.where(x >= 0, x, _NEG_SLOPE * x)
+
+
+def _rb_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, xs, sem, *,
+               Ht, Wt, C, H, W, cd):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[i, pl.ds(j * Ht, Ht + 4), pl.ds(k * Wt, Wt + 4), :],
+        xs,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+    x = xs[:]  # [Ht+4, Wt+4, C]
+
+    # conv1 over the one-ring-larger tile (conv2 consumes its halo)
+    mid = None
+    for a in range(3):
+        for b in range(3):
+            sl = x[a : a + Ht + 2, b : b + Wt + 2, :].reshape(
+                (Ht + 2) * (Wt + 2), C
+            )
+            t = jax.lax.dot_general(
+                sl.astype(cd),
+                w1_ref[(3 * a + b) * C : (3 * a + b + 1) * C, :].astype(cd),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            mid = t if mid is None else mid + t
+    mid = _leaky(mid + b1_ref[:].astype(jnp.float32))
+    mid = mid.reshape(Ht + 2, Wt + 2, C)
+    # conv2's zero padding: ring positions OUTSIDE the image must be 0,
+    # not conv1-evaluated-on-padding (bias/lrelu make those nonzero).
+    # Ring row r sits at global row j*Ht - 1 + r; same for columns.
+    grow = j * Ht - 1 + jax.lax.broadcasted_iota(
+        jnp.int32, (Ht + 2, Wt + 2, 1), 0
+    )
+    gcol = k * Wt - 1 + jax.lax.broadcasted_iota(
+        jnp.int32, (Ht + 2, Wt + 2, 1), 1
+    )
+    inside = (grow >= 0) & (grow < H) & (gcol >= 0) & (gcol < W)
+    mid = jnp.where(inside, mid, 0.0).astype(cd)
+
+    out = None
+    for a in range(3):
+        for b in range(3):
+            sl = mid[a : a + Ht, b : b + Wt, :].reshape(Ht * Wt, C)
+            t = jax.lax.dot_general(
+                sl,
+                w2_ref[(3 * a + b) * C : (3 * a + b + 1) * C, :].astype(cd),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out = t if out is None else out + t
+    out = _leaky(out + b2_ref[:].astype(jnp.float32))
+    res = x[2 : 2 + Ht, 2 : 2 + Wt, :].reshape(Ht * Wt, C)
+    out = out + res.astype(jnp.float32)
+    o_ref[:] = out.reshape(1, Ht, Wt, C).astype(o_ref.dtype)
+
+
+def _pick_tile(n: int, cands=(64, 32, 16, 8)) -> int | None:
+    for c in cands:
+        if n % c == 0:
+            return c
+    return None
+
+
+def fused_residual_block(x, w1, b1, w2, b2, *, compute_dtype=jnp.bfloat16,
+                         interpret=False):
+    """x: [B, H, W, C] NHWC; w1/w2: [3, 3, C, C] HWIO; b1/b2: [C].
+
+    Returns leaky(conv2(leaky(conv1(x)))) + x with torch-style symmetric
+    padding 1 on each conv. Returns None when the shape doesn't fit the
+    kernel (caller falls back to the composed path)."""
+    B, H, W, C = x.shape
+    if w1.shape != (3, 3, C, C) or w2.shape != (3, 3, C, C):
+        return None
+    Ht, Wt = _pick_tile(H), _pick_tile(W)
+    if Ht is None or Wt is None or H < 8 or W < 8:
+        return None
+
+    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    w1f = w1.reshape(9 * C, C)
+    w2f = w2.reshape(9 * C, C)
+
+    kern = partial(_rb_kernel, Ht=Ht, Wt=Wt, C=C, H=H, W=W,
+                   cd=compute_dtype)
+    const = lambda *_: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(B, H // Ht, W // Wt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # halo'd DMA source
+            pl.BlockSpec((9 * C, C), const),
+            pl.BlockSpec((1, C), const),
+            pl.BlockSpec((9 * C, C), const),
+            pl.BlockSpec((1, C), const),
+        ],
+        out_specs=pl.BlockSpec((1, Ht, Wt, C),
+                               lambda i, j, k: (i, j, k, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Ht + 4, Wt + 4, C), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(xp, w1f, b1.reshape(1, C), w2f, b2.reshape(1, C))

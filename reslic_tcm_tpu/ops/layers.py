@@ -339,20 +339,107 @@ class ResidualUnit(nn.Module):
         return self.act(out + x)
 
 
+# Serving-mode switch for the fused residual-conv Pallas kernel
+# (ops/fused_conv.py). Read at trace time, like enable_fused_attention.
+_FUSED_CONV = {"enabled": False, "interpret": False}
+
+
+def enable_fused_convs(on: bool = True, interpret: bool = False):
+    _FUSED_CONV["enabled"] = on
+    _FUSED_CONV["interpret"] = interpret
+
+
+class _RawConv(nn.Module):
+    """Conv2d with setup-exposed params (paths/names match the Conv
+    wrapper's nn.Conv child) so fused kernels can read raw kernels; the
+    composed path is the same lax conv nn.Conv lowers to."""
+
+    features: int
+    kernel_size: int
+    cin: int
+    dtype: Any = None
+
+    def setup(self):
+        k = self.kernel_size
+        self.kernel = self.param(
+            "kernel", torch_kernel_init, (k, k, self.cin, self.features)
+        )
+        self.bias = self.param(
+            "bias", torch_bias_init(self.cin * k * k), (self.features,)
+        )
+
+    def __call__(self, x):
+        from flax.linen import dtypes
+
+        x, kernel, bias = dtypes.promote_dtype(
+            x, self.kernel, self.bias, dtype=self.dtype
+        )
+        p = self.kernel_size // 2
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias
+
+
+class _ConvHolder(nn.Module):
+    """Mirrors the Conv wrapper's module nesting (child named 'conv') so
+    param paths stay checkpoint/converter-compatible."""
+
+    features: int
+    kernel_size: int
+    cin: int
+    dtype: Any = None
+
+    def setup(self):
+        self.conv = _RawConv(self.features, self.kernel_size, self.cin,
+                             self.dtype, name="conv")
+
+    def __call__(self, x):
+        return self.conv(x)
+
+
 class ResidualBlock(nn.Module):
-    """conv3x3 -> lrelu -> conv3x3 -> lrelu + skip (compressai.layers)."""
+    """conv3x3 -> lrelu -> conv3x3 -> lrelu + skip (compressai.layers).
+
+    With enable_fused_convs() on (and cin == features, the TCM
+    ConvTransBlock conv-branch case, reference tcm.py:239-287), both
+    convs + activations + skip run as ONE Pallas kernel over halo'd VMEM
+    tiles (ops/fused_conv.py) — the intermediate activation never touches
+    HBM."""
 
     features: int
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        out = Conv(self.features, kernel_size=3, dtype=self.dtype, name="conv1")(x)
+        cin = x.shape[-1]
+        c1 = _ConvHolder(self.features, 3, cin, self.dtype, name="conv1")
+        c2 = _ConvHolder(self.features, 3, self.features, self.dtype,
+                         name="conv2")
+        if _FUSED_CONV["enabled"] and cin == self.features:
+            from .fused_conv import fused_residual_block
+            from .window_attention import _score_dtype
+
+            sd = _score_dtype()
+            out = fused_residual_block(
+                x,
+                c1.conv.kernel,
+                c1.conv.bias,
+                c2.conv.kernel,
+                c2.conv.bias,
+                compute_dtype=sd if sd is not None else jnp.float32,
+                interpret=_FUSED_CONV["interpret"],
+            )
+            if out is not None:
+                return out
+        out = c1(x)
         out = leaky_relu(out)
-        out = Conv(self.features, kernel_size=3, dtype=self.dtype, name="conv2")(out)
+        out = c2(out)
         out = leaky_relu(out)
-        if x.shape[-1] != self.features:
-            x = Conv(self.features, kernel_size=1, dtype=self.dtype, name="skip")(x)
+        if cin != self.features:
+            x = Conv(self.features, kernel_size=1, dtype=self.dtype,
+                     name="skip")(x)
         return out + x
 
 

@@ -72,3 +72,22 @@ def test_fused_tile4_shifted_mask(layout):
     finally:
         W.enable_fused_attention(False)
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_residual_block_matches_composed():
+    """ops/fused_conv.py kernel (interpret) == the composed ResidualBlock:
+    two 3x3 convs + leaky_relu + skip over halo'd DMA tiles."""
+    from reslic_tcm_tpu.ops import layers as L
+
+    m = L.ResidualBlock(features=128)
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2, 16, 24, 128)), jnp.float32
+    )
+    v = m.init(jax.random.PRNGKey(5), x)
+    ref = np.asarray(m.apply(v, x))
+    try:
+        L.enable_fused_convs(True, interpret=True)
+        got = np.asarray(m.apply(v, x))
+    finally:
+        L.enable_fused_convs(False)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
