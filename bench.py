@@ -105,6 +105,12 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     p.add_argument("--fused-attn", action="store_true")
+    p.add_argument("--attn-layout", choices=["hp", "bd"], default="hp",
+                   help="flash-attention kernel layout (hp = head-packed, "
+                        "bd = the original block-diagonal; A/B measurement)")
+    p.add_argument("--fused-convs", action="store_true",
+                   help="run ConvTransBlock ResidualBlocks as the fused "
+                        "Pallas conv kernel (ops/fused_conv.py)")
     p.add_argument("--fp32", action="store_true",
                    help="fp32 activations + fp32 MXU precision (parity "
                         "mode; the default is bf16 activations with "
@@ -169,7 +175,12 @@ def main(argv=None):
     # Flash window-attention kernel (ops/flash_window_attn.py): 2x the
     # composed XLA Swin block; on by default in throughput mode.
     if (args.fused_attn or not args.fp32) and dev.platform != "cpu":
-        enable_fused_attention(True)
+        enable_fused_attention(True, layout=args.attn_layout)
+    if args.fused_convs and dev.platform != "cpu":
+        from reslic_tcm_tpu.ops.layers import enable_fused_convs
+
+        enable_fused_convs(True)
+        _RECORD["fused_convs"] = True
 
     if args.checkpoint:
         # Real trained weights: realistic symbol entropy / escape rates for

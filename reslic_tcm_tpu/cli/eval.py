@@ -163,6 +163,9 @@ def main(argv=None):
         net.set_matmul_precision("bfloat16")
         if jax.devices()[0].platform != "cpu":
             enable_fused_attention(True)
+            from ..ops.layers import enable_fused_convs
+
+            enable_fused_convs(True)
     if args.checkpoint:
         print("Loading", args.checkpoint)
         if args.checkpoint.endswith((".pth", ".pth.tar", ".pt")):
