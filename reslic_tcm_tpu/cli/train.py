@@ -251,6 +251,11 @@ def main(argv=None):
                     log["general_data/gaussian_beta"] = ann_g.beta
                 wandb_run.log(log)
 
+        if is_stanh and ann_g is not None:
+            # beta trajectory on stdout (the annealing evidence; wandb is
+            # optional in this environment)
+            print(f"stanh beta after epoch {epoch}: {float(ann_g.beta):.4f}")
+
         val_loss = _validate(jit_evals, eval_params(), valid_loader, lambda_list,
                              loss_type, epoch=epoch, wandb_run=wandb_run)
         if kodak is not None:
