@@ -148,3 +148,91 @@ def fused_residual_block(x, w1, b1, w2, b2, *, compute_dtype=jnp.bfloat16,
         ),
         interpret=interpret,
     )(xp, w1f, b1.reshape(1, C), w2f, b2.reshape(1, C))
+
+
+def _cgdn_kernel(x_hbm, w_ref, b_ref, gt_ref, beta_ref, skip_ref, o_ref,
+                 xs, sem, *, Ht, Wt, C, inverse, cd):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[i, pl.ds(j * Ht, Ht + 2), pl.ds(k * Wt, Wt + 2), :],
+        xs,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+    x = xs[:]  # [Ht+2, Wt+2, C]
+
+    y = None
+    for a in range(3):
+        for b in range(3):
+            sl = x[a : a + Ht, b : b + Wt, :].reshape(Ht * Wt, C)
+            t = jax.lax.dot_general(
+                sl.astype(cd),
+                w_ref[(3 * a + b) * C : (3 * a + b + 1) * C, :].astype(cd),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            y = t if y is None else y + t
+    y = y + b_ref[:].astype(jnp.float32)
+
+    # GDN: norm = y^2 @ gamma^T + beta (1x1 conv on the squared signal);
+    # out = y * rsqrt(norm), IGDN uses sqrt. gamma/beta arrive DERIVED
+    # (lower-bound reparam resolved at trace level, ops/layers.py GDN).
+    y2 = (y * y).astype(cd)
+    norm = jax.lax.dot_general(
+        y2, gt_ref[:].astype(cd), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + beta_ref[:].astype(jnp.float32)
+    norm = jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm)
+    out = y * norm + skip_ref[:].reshape(Ht * Wt, C).astype(jnp.float32)
+    o_ref[:] = out.reshape(1, Ht, Wt, C).astype(o_ref.dtype)
+
+
+def fused_conv_gdn(x, w, b, gamma, beta, skip, *, inverse=False,
+                   compute_dtype=jnp.bfloat16, interpret=False):
+    """conv3x3(pad 1) -> GDN (inverse: IGDN) -> + skip, as one kernel.
+
+    x: [B, H, W, C]; w: [3, 3, C, C]; b/beta: [C]; gamma: [C, C] DERIVED
+    (GDN reparam resolved); skip: [B, H, W, C] added to the normalized
+    output (RBWS strided-1x1 skip / RBU subpel identity — reference
+    compressai.layers semantics). None when the shape doesn't fit."""
+    B, H, W, C = x.shape
+    if w.shape != (3, 3, C, C) or skip.shape != x.shape:
+        return None
+    Ht, Wt = _pick_tile(H), _pick_tile(W)
+    if Ht is None or Wt is None:
+        return None
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wf = w.reshape(9 * C, C)
+    # IGDN's sqrt(norm) multiplies (not divides): out = y * sqrt(norm)
+    # matches layers.py GDN(inverse=True)
+    kern = partial(_cgdn_kernel, Ht=Ht, Wt=Wt, C=C, inverse=inverse,
+                   cd=compute_dtype)
+    const = lambda *_: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(B, H // Ht, W // Wt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((9 * C, C), const),
+            pl.BlockSpec((1, C), const),
+            pl.BlockSpec((C, C), const),
+            pl.BlockSpec((1, C), const),
+            pl.BlockSpec((1, Ht, Wt, C), lambda i, j, k: (i, j, k, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Ht, Wt, C),
+                               lambda i, j, k: (i, j, k, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Ht + 2, Wt + 2, C), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(xp, wf, b.reshape(1, C), gamma.T, beta.reshape(1, C), skip)

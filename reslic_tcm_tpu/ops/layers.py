@@ -272,6 +272,47 @@ class SubpelConv3x3(nn.Module):
         return PixelShuffle(self.r)(x)
 
 
+_GDN_BETA_MIN = 1e-6
+_GDN_GAMMA_INIT = 0.1
+_GDN_REPARAM_OFFSET = 2**-18
+
+
+def _gdn_derived(beta_r, gamma_r, beta_min=_GDN_BETA_MIN,
+                 reparam_offset=_GDN_REPARAM_OFFSET):
+    """Resolve the CompressAI GDN reparametrization: stored weights are
+    sqrt(value + pedestal), recovered via LowerBound + square."""
+    pedestal = reparam_offset**2
+    beta_bound = (beta_min + pedestal) ** 0.5
+    beta = lower_bound(beta_r, jnp.asarray(beta_bound, beta_r.dtype)) ** 2 - pedestal
+    gamma = (
+        lower_bound(gamma_r, jnp.asarray(reparam_offset, gamma_r.dtype)) ** 2
+        - pedestal
+    )
+    return beta, gamma
+
+
+def _gdn_apply(x, beta, gamma, inverse: bool):
+    # 1x1 conv on x^2: gamma[j, k] weights channel j's power into output k.
+    # torch conv weight layout is [out, in, 1, 1] with gamma reshaped
+    # row-major, so out k <- in j uses gamma[k, j]; NHWC contraction below
+    # matches that with a transpose.
+    norm = jnp.einsum("bhwj,kj->bhwk", x.astype(jnp.float32) ** 2, gamma) + beta
+    norm = jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm)
+    return x * norm.astype(x.dtype)
+
+
+def _gdn_beta_init(pedestal):
+    return lambda rng, shape: jnp.full(
+        shape, (1.0 + pedestal) ** 0.5, jnp.float32
+    )
+
+
+def _gdn_gamma_init(gamma_init, pedestal):
+    return lambda rng, shape: jnp.sqrt(
+        gamma_init * jnp.eye(shape[0], dtype=jnp.float32) + pedestal
+    )
+
+
 class GDN(nn.Module):
     """Generalized divisive normalization (Balle et al.), CompressAI
     parametrization: stored weights are sqrt(value + pedestal), recovered via
@@ -279,43 +320,46 @@ class GDN(nn.Module):
     """
 
     inverse: bool = False
-    beta_min: float = 1e-6
-    gamma_init: float = 0.1
-    reparam_offset: float = 2**-18
+    beta_min: float = _GDN_BETA_MIN
+    gamma_init: float = _GDN_GAMMA_INIT
+    reparam_offset: float = _GDN_REPARAM_OFFSET
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         pedestal = self.reparam_offset**2
-        beta_bound = (self.beta_min + pedestal) ** 0.5
-        gamma_bound = self.reparam_offset
-
-        beta_r = self.param(
-            "beta",
-            lambda rng, shape: jnp.full(shape, (1.0 + pedestal) ** 0.5, jnp.float32),
-            (c,),
-        )
+        beta_r = self.param("beta", _gdn_beta_init(pedestal), (c,))
         gamma_r = self.param(
-            "gamma",
-            lambda rng, shape: jnp.sqrt(
-                self.gamma_init * jnp.eye(c, dtype=jnp.float32) + pedestal
-            ),
-            (c, c),
+            "gamma", _gdn_gamma_init(self.gamma_init, pedestal), (c, c)
         )
-        beta = lower_bound(beta_r, jnp.asarray(beta_bound, beta_r.dtype)) ** 2 - pedestal
-        gamma = (
-            lower_bound(gamma_r, jnp.asarray(gamma_bound, gamma_r.dtype)) ** 2 - pedestal
+        beta, gamma = _gdn_derived(beta_r, gamma_r, self.beta_min,
+                                   self.reparam_offset)
+        return _gdn_apply(x, beta, gamma, self.inverse)
+
+
+class _GDNParams(nn.Module):
+    """GDN with setup-exposed params (channel count known statically) so
+    fused kernels can read the derived beta/gamma; params/paths/inits are
+    identical to GDN's."""
+
+    features: int
+    inverse: bool = False
+
+    def setup(self):
+        pedestal = _GDN_REPARAM_OFFSET**2
+        self.beta = self.param("beta", _gdn_beta_init(pedestal),
+                               (self.features,))
+        self.gamma = self.param(
+            "gamma", _gdn_gamma_init(_GDN_GAMMA_INIT, pedestal),
+            (self.features, self.features),
         )
-        # 1x1 conv on x^2: gamma[j, k] weights channel j's power into output k.
-        # torch conv weight layout is [out, in, 1, 1] with gamma reshaped
-        # row-major, so out k <- in j uses gamma[k, j]; NHWC contraction below
-        # matches that with a transpose.
-        norm = jnp.einsum("bhwj,kj->bhwk", x.astype(jnp.float32) ** 2, gamma) + beta
-        if self.inverse:
-            norm = jnp.sqrt(norm)
-        else:
-            norm = jax.lax.rsqrt(norm)
-        return x * norm.astype(x.dtype)
+
+    def derived(self):
+        return _gdn_derived(self.beta, self.gamma)
+
+    def __call__(self, x):
+        beta, gamma = self.derived()
+        return _gdn_apply(x, beta, gamma, self.inverse)
 
 
 class ResidualUnit(nn.Module):
@@ -444,11 +488,21 @@ class ResidualBlock(nn.Module):
 
 
 class ResidualBlockWithStride(nn.Module):
-    """conv3x3(stride) -> lrelu -> conv3x3 -> GDN + strided-1x1 skip."""
+    """conv3x3(stride) -> lrelu -> conv3x3 -> GDN + strided-1x1 skip.
+
+    With enable_fused_convs() on, conv2+GDN+skip-add run as one Pallas
+    kernel (ops/fused_conv.py fused_conv_gdn) — this is the largest
+    single conv of the TCM analysis transform (929 GFLOP at stage 0,
+    TCM-Large 768x512 B=8)."""
 
     features: int
     stride: int = 2
     dtype: Any = None
+
+    def setup(self):
+        self.conv2 = _ConvHolder(self.features, 3, self.features,
+                                 self.dtype, name="conv2")
+        self.gdn = _GDNParams(self.features, name="gdn")
 
     @nn.compact
     def __call__(self, x):
@@ -456,31 +510,69 @@ class ResidualBlockWithStride(nn.Module):
             self.features, kernel_size=3, stride=self.stride, dtype=self.dtype, name="conv1"
         )(x)
         out = leaky_relu(out)
-        out = Conv(self.features, kernel_size=3, dtype=self.dtype, name="conv2")(out)
-        out = GDN(name="gdn")(out)
         if self.stride != 1 or x.shape[-1] != self.features:
-            x = Conv(
+            skip = Conv(
                 self.features, kernel_size=1, stride=self.stride, dtype=self.dtype, name="skip"
             )(x)
-        return out + x
+        else:
+            skip = x
+        if _FUSED_CONV["enabled"]:
+            from .fused_conv import fused_conv_gdn
+            from .window_attention import _score_dtype
+
+            beta, gamma = self.gdn.derived()
+            sd = _score_dtype()
+            res = fused_conv_gdn(
+                out, self.conv2.conv.kernel, self.conv2.conv.bias,
+                gamma, beta, skip, inverse=False,
+                compute_dtype=sd if sd is not None else jnp.float32,
+                interpret=_FUSED_CONV["interpret"],
+            )
+            if res is not None:
+                return res
+        out = self.conv2(out)
+        out = self.gdn(out)
+        return out + skip
 
 
 class ResidualBlockUpsample(nn.Module):
-    """subpel-up -> lrelu -> conv3x3 -> IGDN + subpel-up skip."""
+    """subpel-up -> lrelu -> conv3x3 -> IGDN + subpel-up skip.
+
+    With enable_fused_convs() on, conv+IGDN+identity-add run as one
+    Pallas kernel (the synthesis-side mirror of RBWS's fusion)."""
 
     features: int
     upsample: int = 2
     dtype: Any = None
 
+    def setup(self):
+        self.conv = _ConvHolder(self.features, 3, self.features,
+                                self.dtype, name="conv")
+        self.igdn = _GDNParams(self.features, inverse=True, name="igdn")
+
     @nn.compact
     def __call__(self, x):
         out = SubpelConv3x3(self.features, self.upsample, dtype=self.dtype, name="subpel")(x)
         out = leaky_relu(out)
-        out = Conv(self.features, kernel_size=3, dtype=self.dtype, name="conv")(out)
-        out = GDN(inverse=True, name="igdn")(out)
         identity = SubpelConv3x3(
             self.features, self.upsample, dtype=self.dtype, name="upsample"
         )(x)
+        if _FUSED_CONV["enabled"]:
+            from .fused_conv import fused_conv_gdn
+            from .window_attention import _score_dtype
+
+            beta, gamma = self.igdn.derived()
+            sd = _score_dtype()
+            res = fused_conv_gdn(
+                out, self.conv.conv.kernel, self.conv.conv.bias,
+                gamma, beta, identity, inverse=True,
+                compute_dtype=sd if sd is not None else jnp.float32,
+                interpret=_FUSED_CONV["interpret"],
+            )
+            if res is not None:
+                return res
+        out = self.conv(out)
+        out = self.igdn(out)
         return out + identity
 
 

@@ -91,3 +91,29 @@ def test_fused_residual_block_matches_composed():
     finally:
         L.enable_fused_convs(False)
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("cls_inverse", [False, True])
+def test_fused_conv_gdn_matches_composed(cls_inverse):
+    """fused_conv_gdn (interpret) == composed RBWS conv2+GDN+skip / RBU
+    conv+IGDN+identity."""
+    from reslic_tcm_tpu.ops import layers as L
+
+    if cls_inverse:
+        m = L.ResidualBlockUpsample(features=128, upsample=2)
+        x = jnp.asarray(
+            np.random.default_rng(7).normal(size=(1, 8, 12, 128)), jnp.float32
+        )
+    else:
+        m = L.ResidualBlockWithStride(features=128, stride=2)
+        x = jnp.asarray(
+            np.random.default_rng(6).normal(size=(1, 16, 24, 128)), jnp.float32
+        )
+    v = m.init(jax.random.PRNGKey(6), x)
+    ref = np.asarray(m.apply(v, x))
+    try:
+        L.enable_fused_convs(True, interpret=True)
+        got = np.asarray(m.apply(v, x))
+    finally:
+        L.enable_fused_convs(False)
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)
