@@ -87,3 +87,33 @@ with jax.default_matmul_precision("bfloat16"):
                    np.float32)
     print(f"rb fused-vs-composed maxerr (bf16): "
           f"{np.abs(a - b).max():.4e}")
+
+    # ---- RBWS conv2+GDN+skip at stage-0 (the 929 GFLOP case is C=256
+    # at 384x256; conv1 output feeds it, skip comes from the 1x1) ----
+    C2 = 256
+    x2 = jnp.asarray(rng.normal(size=(B, 384, 256, C2)).astype(np.float32),
+                     jnp.bfloat16)
+    rbws = L.ResidualBlockWithStride(features=C2, stride=2)
+    # drive conv2+gdn directly: build params, call the fused vs composed tail
+    vimg = jnp.asarray(rng.normal(size=(B, 768, 512, 3)).astype(np.float32),
+                       jnp.bfloat16)
+    vws = rbws.init(jax.random.PRNGKey(2), vimg)
+    fws = jax.jit(lambda vv, xx: rbws.apply(vv, xx))
+    _, ref = timed("rbws (conv1+conv2+gdn+skip) XLA", lambda: fws(vws, vimg))
+    L.enable_fused_convs(True)
+    fwsf = jax.jit(lambda vv, xx: rbws.apply(vv, xx))
+    _, got = timed("rbws with fused conv2+gdn", lambda: fwsf(vws, vimg))
+    L.enable_fused_convs(False)
+    print(f"   vs composed sum drift: {abs(float(got) - float(ref)):.4e}")
+
+    rbu = L.ResidualBlockUpsample(features=C2, upsample=2)
+    xu = jnp.asarray(rng.normal(size=(B, 192, 128, C2)).astype(np.float32),
+                     jnp.bfloat16)
+    vu = rbu.init(jax.random.PRNGKey(3), xu)
+    fu = jax.jit(lambda vv, xx: rbu.apply(vv, xx))
+    _, ref = timed("rbu (subpel+conv+igdn) XLA", lambda: fu(vu, xu))
+    L.enable_fused_convs(True)
+    fuf = jax.jit(lambda vv, xx: rbu.apply(vv, xx))
+    _, got = timed("rbu with fused conv+igdn", lambda: fuf(vu, xu))
+    L.enable_fused_convs(False)
+    print(f"   vs composed sum drift: {abs(float(got) - float(ref)):.4e}")
