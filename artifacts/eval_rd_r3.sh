@@ -1,0 +1,46 @@
+#!/bin/bash
+# Round-3 RD evaluation: real-codec (--real) eval of every checkpoint the
+# round-3 training queue produced, on the held-out synthetic set. Run
+# after artifacts/train_queue_r3.sh completes (markers in runs/r3/).
+set -u
+cd /root/repo
+mkdir -p runs/r3
+DATA=/root/repo/data_synth/test/data
+
+latest_ckpt() {  # newest run dir matching $1 that has a _very_best.ckpt
+  ls -dt runs/*"$1"*/_very_best.ckpt 2>/dev/null | head -1
+}
+
+# TCM-Small points (lambda embedded in the run-dir name)
+for lam in 0.0025 0.013 0.05; do
+  ck=$(latest_ckpt "_${lam}_")
+  [ -z "$ck" ] && { echo "no ckpt for lambda=$lam"; continue; }
+  echo "=== tcm lambda=$lam ckpt=$ck"
+  timeout 3600 python -m reslic_tcm_tpu.cli.eval --data "$DATA" \
+    --N 64 --M 320 --real --bf16 --checkpoint "$(realpath "$ck")" \
+    2>&1 | tee "runs/r3/eval_tcm_${lam}.log" | tail -4
+done
+
+# multi-rate STanH (3 levels) — registry eval path, per-level real codec
+ck=$(ls -dt runs/*stanh*/_very_best.ckpt 2>/dev/null | head -1)
+if [ -n "$ck" ]; then
+  echo "=== wacnn_stanh ckpt=$ck"
+  timeout 5400 python -m reslic_tcm_tpu.cli.eval --data "$DATA" \
+    --model wacnn_stanh --N 192 --M 320 --real \
+    --lambda_list 0.0025 0.0067 0.025 --checkpoint "$(realpath "$ck")" \
+    2>&1 | tee runs/r3/eval_wacnn_stanh.log | tail -6
+fi
+
+# gain model: discrete levels via the eval CLI; the interpolation sweep
+# has its own driver below
+ck=$(ls -dt runs/*gain*/_very_best.ckpt 2>/dev/null | head -1)
+if [ -n "$ck" ]; then
+  echo "=== scale_gain ckpt=$ck"
+  timeout 3600 python -m reslic_tcm_tpu.cli.eval --data "$DATA" \
+    --model scale_gain --real --lambda_list 0.0025 0.025 \
+    --checkpoint "$(realpath "$ck")" \
+    2>&1 | tee runs/r3/eval_scale_gain.log | tail -4
+  echo "=== scale_gain interpolation sweep"
+  timeout 3600 python artifacts/gain_sweep.py "$(realpath "$ck")" \
+    2>&1 | tee runs/r3/gain_sweep.log | tail -10
+fi
