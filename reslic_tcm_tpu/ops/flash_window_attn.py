@@ -57,7 +57,7 @@ def _erf_poly(x):
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, lns_ref,
             lnb_ref, bias_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
             b2_ref, seg_ref, o_ref, *, C, hd, w, shifted, nwh, nww,
-            compute_dtype, with_mlp, tile, layout):
+            compute_dtype, with_mlp, with_ln, tile, layout):
     H = C // hd
     T = w * w  # tokens per window
     cd = compute_dtype
@@ -72,12 +72,18 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, lns_ref,
         [xw[:, t].reshape(T, C) for t in range(tile)], axis=0
     )  # [tile*T, C], window-major
 
-    # LayerNorm (fp32 stats)
+    # LayerNorm (fp32 stats); with_ln=False (WinBasedAttention,
+    # win_attention.py semantics) feeds x straight into qkv
     xf = xcat.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
-    ln = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
-    ln = ln * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(jnp.float32)
+    if with_ln:
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        ln = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+        ln = ln * lns_ref[:].astype(jnp.float32) + lnb_ref[:].astype(
+            jnp.float32
+        )
+    else:
+        ln = xf
 
     qkv = (
         jax.lax.dot_general(
@@ -248,7 +254,8 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, lns_ref,
 def flash_window_block(x, wqkv, bqkv, wproj, bproj, ln_scale, ln_bias,
                        rel_bias, mlp=None, *, head_dim, window, shifted,
                        compute_dtype=jnp.bfloat16, interpret=False,
-                       tile: int | None = None, layout: str = "hp"):
+                       tile: int | None = None, layout: str = "hp",
+                       with_ln: bool = True):
     """x: NHWC [B, H, W, C] (H, W divisible by window; pre-roll for SW).
     rel_bias: [n_heads, w*w, w*w]. Returns x + proj(attn(LN(x))), and with
     mlp=(ln2_s, ln2_b, w1, b1, w2, b2) the full Swin sub-block including
@@ -300,8 +307,8 @@ def flash_window_block(x, wqkv, bqkv, wproj, bproj, ln_scale, ln_bias,
 
     kern = partial(
         _kernel, C=C, hd=head_dim, w=w, shifted=shifted, nwh=nwh, nww=nww,
-        compute_dtype=compute_dtype, with_mlp=with_mlp, tile=tile,
-        layout=layout,
+        compute_dtype=compute_dtype, with_mlp=with_mlp, with_ln=with_ln,
+        tile=tile, layout=layout,
     )
     const = lambda *_: (0, 0)  # noqa: E731
     return pl.pallas_call(

@@ -340,22 +340,35 @@ class WindowAttention(nn.Module):
     num_heads: int
     dtype: Any = None
 
-    @nn.compact
+    def setup(self):
+        w = self.window_size
+        self.bias_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02 / 0.87962566103423978),
+            ((2 * w - 1) * (2 * w - 1), self.num_heads),
+        )
+        self.qkv = _Dense(self.dim * 3, self.dim, self.dtype, name="qkv")
+        self.proj = _Dense(self.dim, self.dim, self.dtype, name="proj")
+
+    def _rel_bias(self):
+        """[num_heads, w*w, w*w] bias for the fused kernel."""
+        w = self.window_size
+        idx = relative_position_index(w)
+        return jnp.transpose(
+            self.bias_table[idx.reshape(-1)].reshape(
+                w * w, w * w, self.num_heads
+            ),
+            (2, 0, 1),
+        )
+
     def __call__(self, x, mask=None):
         b_, n, c = x.shape
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
         w = self.window_size
+        bias_table = self.bias_table
 
-        bias_table = self.param(
-            "relative_position_bias_table",
-            nn.initializers.truncated_normal(0.02 / 0.87962566103423978),
-            ((2 * w - 1) * (2 * w - 1), self.num_heads),
-        )
-
-        qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv",
-                       kernel_init=torch_kernel_init,
-                       bias_init=torch_bias_init(self.dim))(x)
+        qkv = self.qkv(x)
         qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0] * scale, qkv[1], qkv[2]
         sd = _score_dtype()
@@ -376,14 +389,18 @@ class WindowAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bhmc->bhnc", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c).astype(x.dtype)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj",
-                        kernel_init=torch_kernel_init,
-                        bias_init=torch_bias_init(self.dim))(out)
+        return self.proj(out)
 
 
 class WinBasedAttention(nn.Module):
     """Shifted-window attention block with residual shortcut
-    (reference win_attention.py:118-207). Operates on NHWC."""
+    (reference win_attention.py:118-207). Operates on NHWC.
+
+    With enable_fused_attention() on (w divisible by 8, s in {0, w//2}),
+    runs as the flash kernel with with_ln/with_mlp off — the same fused
+    window attention as the TCM Swin blocks, minus their LN/MLP wrapping.
+    (The composed mask uses -100 vs the kernel's -1e9; post-softmax the
+    difference is < 1e-40.)"""
 
     dim: int
     num_heads: int = 8
@@ -391,9 +408,53 @@ class WinBasedAttention(nn.Module):
     shift_size: int = 0
     dtype: Any = None
 
+    def setup(self):
+        self.attn = WindowAttention(self.dim, self.window_size,
+                                    self.num_heads, self.dtype, name="attn")
+
+    def _fused(self, x):
+        from .flash_window_attn import flash_window_block
+
+        w, s = self.window_size, self.shift_size
+        if s > 0:
+            x = jnp.roll(x, shift=(-s, -s), axis=(1, 2))
+        a = self.attn
+        head_dim = self.dim // self.num_heads
+        sd = _score_dtype()
+        out = flash_window_block(
+            x,
+            a.qkv.kernel,
+            a.qkv.bias,
+            a.proj.kernel,
+            a.proj.bias,
+            jnp.ones((self.dim,), jnp.float32),
+            jnp.zeros((self.dim,), jnp.float32),
+            a._rel_bias(),
+            mlp=None,
+            head_dim=head_dim,
+            window=w,
+            shifted=s > 0,
+            compute_dtype=sd if sd is not None else jnp.float32,
+            interpret=_FUSED_ATTENTION["interpret"],
+            layout=_FUSED_ATTENTION["layout"],
+            with_ln=False,
+        )
+        if s > 0:
+            out = jnp.roll(out, shift=(s, s), axis=(1, 2))
+        return out
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         w, s = self.window_size, self.shift_size
+        if (
+            fused_attention_enabled()
+            and deterministic
+            and (w % 8 == 0 or _FUSED_ATTENTION["interpret"])
+            and s in (0, w // 2)
+            and x.shape[1] % w == 0
+            and x.shape[2] % w == 0
+        ):
+            return self._fused(x)
         shortcut = x
         # Pad to a window multiple (reference requires divisibility and
         # relies on model-level pad-to-128; we degrade gracefully instead).
@@ -419,9 +480,7 @@ class WinBasedAttention(nn.Module):
             x = jnp.roll(x, shift=(-s, -s), axis=(1, 2))
 
         windows = window_partition(x, w).reshape(-1, w * w, c)
-        attn = WindowAttention(self.dim, w, self.num_heads, self.dtype, name="attn")(
-            windows, mask
-        )
+        attn = self.attn(windows, mask)
         attn = attn.reshape(b, -1, w * w, c)
         x = window_reverse(attn, w, h, wd)
 

@@ -117,3 +117,23 @@ def test_fused_conv_gdn_matches_composed(cls_inverse):
     finally:
         L.enable_fused_convs(False)
     np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("shift", [0, 4])
+@pytest.mark.parametrize("layout", ["bd", "hp"])
+def test_fused_winbased_attention_matches_composed(shift, layout):
+    """WACNN's WinBasedAttention through the flash kernel (with_ln/with_mlp
+    off) == the composed path. Composed mask is -100 vs kernel -1e9;
+    post-softmax difference < 1e-40."""
+    m = W.WinBasedAttention(dim=16, num_heads=2, window_size=8,
+                            shift_size=shift)
+    x = jnp.asarray(np.random.default_rng(9).normal(size=(2, 16, 24, 16)),
+                    jnp.float32)
+    v = m.init(jax.random.PRNGKey(9), x)
+    ref = np.asarray(m.apply(v, x))
+    try:
+        W.enable_fused_attention(True, interpret=True, layout=layout)
+        got = np.asarray(m.apply(v, x))
+    finally:
+        W.enable_fused_attention(False)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
