@@ -176,11 +176,45 @@ def main(argv=None):
     # composed XLA Swin block; on by default in throughput mode.
     if (args.fused_attn or not args.fp32) and dev.platform != "cpu":
         enable_fused_attention(True, layout=args.attn_layout)
+        # Mosaic-lowering safety net: compile-probe the selected layout on
+        # a tiny block; if the kernel fails to lower on this toolchain,
+        # fall back to the round-2-validated 'bd' layout rather than
+        # letting the headline bench crash.
+        try:
+            from reslic_tcm_tpu.ops.window_attention import SwinTransformerBlock
+
+            _m = SwinTransformerBlock(dim=128, head_dim=8, window_size=8)
+            _x = jnp.zeros((1, 8, 32, 128), jnp.bfloat16)
+            _v = _m.init(jax.random.PRNGKey(0), _x)
+            with jax.default_matmul_precision("bfloat16"):
+                jax.block_until_ready(_m.apply(_v, _x))
+        except Exception as e:  # pragma: no cover - toolchain dependent
+            print(f"# attn layout {args.attn_layout} failed to lower "
+                  f"({type(e).__name__}); falling back to bd", file=sys.stderr)
+            enable_fused_attention(True, layout="bd")
+            args.attn_layout = "bd"
+    _RECORD["attn_layout"] = (
+        args.attn_layout
+        if (args.fused_attn or not args.fp32) and dev.platform != "cpu"
+        else "composed"
+    )
     if args.fused_convs and dev.platform != "cpu":
         from reslic_tcm_tpu.ops.layers import enable_fused_convs
 
-        enable_fused_convs(True)
-        _RECORD["fused_convs"] = True
+        try:
+            from reslic_tcm_tpu.ops.layers import ResidualBlock
+
+            enable_fused_convs(True)
+            _m = ResidualBlock(features=128)
+            _x = jnp.zeros((1, 16, 16, 128), jnp.bfloat16)
+            _v = _m.init(jax.random.PRNGKey(0), _x)
+            with jax.default_matmul_precision("bfloat16"):
+                jax.block_until_ready(_m.apply(_v, _x))
+            _RECORD["fused_convs"] = True
+        except Exception as e:  # pragma: no cover - toolchain dependent
+            print(f"# fused convs failed to lower ({type(e).__name__}); "
+                  f"disabled", file=sys.stderr)
+            enable_fused_convs(False)
 
     if args.checkpoint:
         # Real trained weights: realistic symbol entropy / escape rates for
