@@ -137,3 +137,22 @@ def test_fused_winbased_attention_matches_composed(shift, layout):
     finally:
         W.enable_fused_attention(False)
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_residual_block_small_channels_min_tile():
+    """C=64 (TCM-Small conv branch) at the minimum 8x8 tile: lanes are
+    half-used but the kernel must stay correct."""
+    from reslic_tcm_tpu.ops import layers as L
+
+    m = L.ResidualBlock(features=64)
+    x = jnp.asarray(
+        np.random.default_rng(11).normal(size=(1, 8, 8, 64)), jnp.float32
+    )
+    v = m.init(jax.random.PRNGKey(11), x)
+    ref = np.asarray(m.apply(v, x))
+    try:
+        L.enable_fused_convs(True, interpret=True)
+        got = np.asarray(m.apply(v, x))
+    finally:
+        L.enable_fused_convs(False)
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)
