@@ -19,6 +19,9 @@ import numpy as np
 os.makedirs("/tmp/jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("SWEEP_CPU"):
+    # config API beats the hosted TPU plugin's JAX_PLATFORMS override
+    jax.config.update("jax_platforms", "cpu")
 
 from reslic_tcm_tpu.data.datasets import list_images, read_image
 from reslic_tcm_tpu.models.gain.gained import make_gained_hyperprior
@@ -29,7 +32,12 @@ ckpt = sys.argv[1]
 data = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/data_synth/test/data"
 n_imgs = int(os.environ.get("SWEEP_IMAGES", "8"))
 
-codec = make_gained_hyperprior("scale", lmbda_list=(0.0025, 0.025))
+codec = make_gained_hyperprior(
+    "scale",
+    N=int(os.environ.get("SWEEP_N", "192")),
+    M=int(os.environ.get("SWEEP_M", "320")),
+    lmbda_list=(0.0025, 0.025),
+)
 restored = load_checkpoint(os.path.abspath(ckpt))
 params = restored["state"]["params"] if "state" in restored else restored["params"]
 codec.variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}

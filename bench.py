@@ -184,12 +184,19 @@ def main(argv=None):
             from reslic_tcm_tpu.ops.window_attention import SwinTransformerBlock
 
             _m = SwinTransformerBlock(dim=128, head_dim=8, window_size=8)
-            _x = jnp.zeros((1, 8, 32, 128), jnp.bfloat16)
+            _x = jnp.asarray(
+                np.random.default_rng(5).normal(size=(1, 8, 32, 128)),
+                jnp.bfloat16,
+            )
             _v = _m.init(jax.random.PRNGKey(0), _x)
             with jax.default_matmul_precision("bfloat16"):
-                jax.block_until_ready(_m.apply(_v, _x))
+                _got = np.asarray(_m.apply(_v, _x), np.float32)
+                enable_fused_attention(False)
+                _ref = np.asarray(_m.apply(_v, _x), np.float32)
+                enable_fused_attention(True, layout=args.attn_layout)
+            np.testing.assert_allclose(_got, _ref, rtol=3e-2, atol=3e-2)
         except Exception as e:  # pragma: no cover - toolchain dependent
-            print(f"# attn layout {args.attn_layout} failed to lower "
+            print(f"# attn layout {args.attn_layout} failed to lower/verify "
                   f"({type(e).__name__}); falling back to bd", file=sys.stderr)
             enable_fused_attention(True, layout="bd")
             args.attn_layout = "bd"
@@ -204,16 +211,23 @@ def main(argv=None):
         try:
             from reslic_tcm_tpu.ops.layers import ResidualBlock
 
-            enable_fused_convs(True)
             _m = ResidualBlock(features=128)
-            _x = jnp.zeros((1, 16, 16, 128), jnp.bfloat16)
+            _x = jnp.asarray(
+                np.random.default_rng(3).normal(size=(1, 16, 16, 128)),
+                jnp.bfloat16,
+            )
             _v = _m.init(jax.random.PRNGKey(0), _x)
             with jax.default_matmul_precision("bfloat16"):
-                jax.block_until_ready(_m.apply(_v, _x))
+                _ref = np.asarray(_m.apply(_v, _x), np.float32)
+                enable_fused_convs(True)
+                _got = np.asarray(_m.apply(_v, _x), np.float32)
+            # lowering succeeded AND the kernel agrees with composed XLA
+            # (bf16 tolerances) — only then trust it for the headline.
+            np.testing.assert_allclose(_got, _ref, rtol=3e-2, atol=3e-2)
             _RECORD["fused_convs"] = True
         except Exception as e:  # pragma: no cover - toolchain dependent
-            print(f"# fused convs failed to lower ({type(e).__name__}); "
-                  f"disabled", file=sys.stderr)
+            print(f"# fused convs failed to lower/verify "
+                  f"({type(e).__name__}); disabled", file=sys.stderr)
             enable_fused_convs(False)
 
     if args.checkpoint:
