@@ -111,6 +111,19 @@ def main(argv=None):
             restored = load_checkpoint(args.checkpoint)
             codec.variables = {"params": restored["state"]["params"]}
 
+    if (is_stanh_name(args.model) and len(args.lambda_list) > 1
+            and all(t != "yes" for t in args.gauss_trainable)):
+        # With every per-level quantizer frozen at the (identical) default
+        # init, all rate levels compute the same function and the model
+        # cannot become variable-rate (reference default is also "no";
+        # its multi-rate recipes pass --gauss_trainable yes ...).
+        print("WARNING: multi-lambda stanh training with all quantizers "
+              "frozen (--gauss_trainable no ...): every level starts from "
+              "the same frozen STanH, so the trained model will code "
+              "identically at every level. Pass --gauss_trainable "
+              + " ".join(["yes"] * len(args.lambda_list))
+              + " for a variable-rate model.")
+
     labels = None
     if args.freeze and is_stanh_name(args.model):
         from ..training.optimizer import freeze_all_but_stanh_labels

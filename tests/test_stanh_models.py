@@ -150,6 +150,65 @@ def test_tcm_stanh_forward_and_roundtrip():
     np.testing.assert_allclose(np.asarray(dec["x_hat"]), want, atol=1e-5)
 
 
+def test_stanh_grads_reach_selected_level(wacnn_stanh):
+    """Regression: the RD loss must produce nonzero gradients into the
+    STanH (w, b) row of the selected rate level — and only that row.
+
+    Caught in round 3: a multi-lambda run trained with the parser-default
+    --gauss_trainable no (trainable=False -> stop_gradient) leaves every
+    level at the identical init, so the "multi-rate" model codes every
+    level identically. With trainable=True the gradient must flow."""
+    from reslic_tcm_tpu.training.loss import rate_distortion_loss
+
+    codec = wacnn_stanh
+    x = _image(seed=11)
+
+    def loss_fn(params, lv):
+        out = codec.module.apply(
+            {"params": params}, x, training=True, lv=lv,
+            beta=jnp.float32(10.0), rngs={"noise": jax.random.PRNGKey(0)},
+        )
+        return rate_distortion_loss(out, x, 0.0067)["loss"]
+
+    params = codec.variables["params"]
+    for lv in range(2):
+        g = jax.grad(loss_fn)(params, lv)
+        gw = np.asarray(g["gaussian_conditional"]["stanh"]["w"])
+        gb = np.asarray(g["gaussian_conditional"]["stanh"]["b"])
+        for row in range(2):
+            wn, bn = np.linalg.norm(gw[row]), np.linalg.norm(gb[row])
+            if row == lv:
+                assert wn > 0 and bn > 0, (lv, row, wn, bn)
+            else:
+                assert wn == 0 and bn == 0, (lv, row, wn, bn)
+
+
+def test_stanh_frozen_quantizer_gets_no_grads():
+    """trainable=False (the parser default "no") must stop gradients — the
+    reference's requires_grad=False parity — so training leaves the
+    quantizer at init. (The train CLI warns about this for multi-lambda.)"""
+    from reslic_tcm_tpu.training.loss import rate_distortion_loss
+
+    gcfg = [dict(GCFG[0], trainable=False) for _ in range(2)]
+    codec = make_wacnn_stanh(
+        gcfg, N=32, M=40, input_shape=(128, 128),
+        hyper_dims=(40, 36, 32), mean_dims=(32, 36, 40, 44),
+        cc_dims=(28, 24, 20, 16),
+    )
+    x = _image(seed=12)
+
+    def loss_fn(params):
+        out = codec.module.apply(
+            {"params": params}, x, training=True, lv=0,
+            beta=jnp.float32(10.0), rngs={"noise": jax.random.PRNGKey(0)},
+        )
+        return rate_distortion_loss(out, x, 0.0067)["loss"]
+
+    g = jax.grad(loss_fn)(codec.variables["params"])
+    assert float(np.abs(np.asarray(g["gaussian_conditional"]["stanh"]["w"])).max()) == 0
+    assert float(np.abs(np.asarray(g["gaussian_conditional"]["stanh"]["b"])).max()) == 0
+
+
 def test_registry_names():
     from reslic_tcm_tpu.models import models_dict
 
