@@ -59,9 +59,12 @@ run_step tcm_0025_resume 7200 $TRAIN -m tcm --N 64 --M 320 -e 30 \
 run_step tcm_013 5400 $TRAIN -m tcm --N 64 --M 320 -e 12 --lambda_list 0.013
 run_step tcm_05 5400 $TRAIN -m tcm --N 64 --M 320 -e 12 --lambda_list 0.05
 
-# 4. multi-rate STanH (3 levels, gap_stoc annealing drives beta)
+# 4. multi-rate STanH (3 levels, gap_stoc annealing drives beta).
+# --gauss_trainable yes is REQUIRED for variable-rate behavior: the
+# parser default "no" freezes every level at the identical init (see
+# tests/test_stanh_models.py::test_stanh_grads_reach_selected_level).
 run_step wacnn_stanh 9000 $TRAIN -m wacnn_stanh -e 12 \
-  --lambda_list 0.0025 0.0067 0.025
+  --lambda_list 0.0025 0.0067 0.025 --gauss_trainable yes yes yes
 
 # 5. gain model for the interpolated-rate sweep
 run_step scale_gain 5400 $TRAIN -m scale_gain -e 10 \
