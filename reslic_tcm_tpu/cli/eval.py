@@ -55,6 +55,17 @@ def parse_args(argv):
     parser.add_argument("--lambda_list", nargs="+", type=float,
                         default=[0.0025],
                         help="rate levels for multi-rate models (gain/stanh)")
+    parser.add_argument("--gauss_num_sigmoids", nargs="+", type=int,
+                        default=None,
+                        help="stanh models: per-level num_sigmoids the "
+                             "checkpoint was trained with")
+    parser.add_argument("--gauss_extrema", nargs="+", type=int, default=None,
+                        help="stanh models: per-level extrema the "
+                             "checkpoint was trained with")
+    parser.add_argument("--gauss_trainable", nargs="+", type=str,
+                        default=None,
+                        help="stanh models: per-level trainable flags the "
+                             "checkpoint was trained with")
     parser.add_argument("--lv", type=int, default=-1,
                         help="evaluate only this rate level (-1 = all)")
     args = parser.parse_args(argv)
@@ -89,6 +100,10 @@ def _eval_generic(args):
     targs = train_parse([])
     targs.model, targs.N, targs.M = args.model, args.N, args.M
     targs.lambda_list = args.lambda_list
+    for knob in ("gauss_num_sigmoids", "gauss_extrema", "gauss_trainable"):
+        v = getattr(args, knob)
+        if v is not None:
+            setattr(targs, knob, v)
     net, *_ = get_model(targs, input_shape=(256, 256))
 
     if args.checkpoint:

@@ -132,6 +132,28 @@ def interval_bounds(values, state: StanhState):
     return state.distance_left[k], state.distance_right[k]
 
 
+def per_level_cfg(value, n_rates: int):
+    """Normalize an int-or-sequence quantizer knob to one int per rate level.
+
+    The reference builds one GaussianConditionalStanh per level from per-level
+    config dicts (models/__init__.py:38-116 + helper.py:16-46), so
+    `--gauss_num_sigmoids 160 160 160 --gauss_extrema 160 80 40` gives each
+    level its own staircase init (coarse at low lambda, fine at high). Here
+    the levels live in one stacked [n_rates, L] parameter, so per-level
+    values are allowed as long as every level yields the same L."""
+    if isinstance(value, (tuple, list)):
+        vals = tuple(int(v) for v in value)
+        if len(vals) == 1:
+            vals = vals * n_rates
+        if len(vals) != n_rates:
+            raise ValueError(
+                f"per-level quantizer config {vals} has {len(vals)} entries "
+                f"for {n_rates} rate levels"
+            )
+        return vals
+    return (int(value),) * n_rates
+
+
 class StanhQuantizer(nn.Module):
     """Stacked per-rate-level STanH parameters.
 
@@ -139,26 +161,44 @@ class StanhQuantizer(nn.Module):
     row inside the jitted step. trainable=False freezes via stop_gradient
     (parameters remain in the checkpoint like the reference's
     requires_grad=False params).
-    """
+
+    num_sigmoids / extrema accept either one int (all levels identical, the
+    reference parser defaults) or one int per level — per-level staircase
+    inits seed rate separation the way the reference's per-level configs do,
+    under the constraint that every level has the same number of steps L
+    (the stacked-parameter design; use num_sigmoids>0 to fix L and vary
+    extrema for per-level step size 2*extrema/num_sigmoids)."""
 
     n_rates: int = 1
-    num_sigmoids: int = 0
-    extrema: int = 5
+    num_sigmoids: "int | tuple" = 0
+    extrema: "int | tuple" = 5
     symmetric: bool = False
     trainable: bool = True
 
+    def _level_inits(self):
+        ns = per_level_cfg(self.num_sigmoids, self.n_rates)
+        ex = per_level_cfg(self.extrema, self.n_rates)
+        inits = [init_w_b(n, e, self.symmetric) for n, e in zip(ns, ex)]
+        lengths = {len(w) for w, _ in inits}
+        if len(lengths) != 1:
+            raise ValueError(
+                "per-level stanh configs must all produce the same number of "
+                f"steps L (got lengths {sorted(lengths)} from num_sigmoids="
+                f"{ns}, extrema={ex}); fix num_sigmoids>0 across levels and "
+                "vary extrema to vary the step size at equal L"
+            )
+        return inits
+
     def setup(self):
-        w0, b0 = init_w_b(self.num_sigmoids, self.extrema, self.symmetric)
-        self.w = self.param(
-            "w", lambda rng: jnp.tile(jnp.asarray(w0)[None], (self.n_rates, 1))
-        )
-        self.b = self.param(
-            "b", lambda rng: jnp.tile(jnp.asarray(b0)[None], (self.n_rates, 1))
-        )
+        inits = self._level_inits()
+        w0 = np.stack([w for w, _ in inits])
+        b0 = np.stack([b for _, b in inits])
+        self.w = self.param("w", lambda rng: jnp.asarray(w0))
+        self.b = self.param("b", lambda rng: jnp.asarray(b0))
 
     @property
     def n_levels(self) -> int:
-        w0, _ = init_w_b(self.num_sigmoids, self.extrema, self.symmetric)
+        w0, _ = self._level_inits()[0]
         return (2 * len(w0) + 1) if self.symmetric else (len(w0) + 1)
 
     def state(self, lv) -> StanhState:

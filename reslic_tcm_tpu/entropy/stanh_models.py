@@ -67,8 +67,8 @@ class StanhGaussianConditional(nn.Module):
     adaptive_gaussian_conditional.py:312-617)."""
 
     n_rates: int = 1
-    num_sigmoids: int = 0
-    extrema: int = 5
+    num_sigmoids: "int | tuple" = 0
+    extrema: "int | tuple" = 5
     symmetric: bool = False
     trainable: bool = True
     removing_mean: bool = False
@@ -174,8 +174,8 @@ class StanhEntropyBottleneck(nn.Module):
 
     channels: int
     n_rates: int = 1
-    num_sigmoids: int = 0
-    extrema: int = 5
+    num_sigmoids: "int | tuple" = 0
+    extrema: "int | tuple" = 5
     symmetric: bool = False
     trainable: bool = True
     filters: Tuple[int, ...] = (3, 3, 3, 3)

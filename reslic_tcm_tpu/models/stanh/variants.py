@@ -95,8 +95,8 @@ class TCMStanh(_StanhChannelARMixin, TCM):
     models/stanh/tcm_stanh.py:312-463)."""
 
     n_rates: int = 1
-    num_sigmoids: int = 0
-    extrema: int = 80
+    num_sigmoids: "int | tuple" = 0
+    extrema: "int | tuple" = 80
     symmetric: bool = False
     stanh_trainable: bool = True
     removing_mean: bool = False
@@ -118,8 +118,8 @@ class WACNNStanh(_StanhChannelARMixin, WACNN):
     (reference models/stanh/wacnn_stanh.py:131-335)."""
 
     n_rates: int = 1
-    num_sigmoids: int = 0
-    extrema: int = 80
+    num_sigmoids: "int | tuple" = 0
+    extrema: "int | tuple" = 80
     symmetric: bool = False
     stanh_trainable: bool = True
     removing_mean: bool = False
@@ -187,8 +187,8 @@ class ScaleHyperpriorStanh(ScaleHyperprior):
     (reference models/stanh/balle18_stanh.py:8-138)."""
 
     n_rates: int = 1
-    num_sigmoids: int = 0
-    extrema: int = 80
+    num_sigmoids: "int | tuple" = 0
+    extrema: "int | tuple" = 80
     symmetric: bool = False
     stanh_trainable: bool = True
     removing_mean: bool = False
@@ -205,10 +205,15 @@ class ScaleHyperpriorStanh(ScaleHyperprior):
             removing_mean=self.removing_mean,
         )
         if self.fact_stanh:
+            # the factorized stanh is single-rate (reference builds ONE
+            # EntropyBottleneckStanh from factorized_configuration[0],
+            # balle18_stanh.py:36-47): collapse per-level gaussian knobs
+            # to the level-0 value
+            ns, ex = self.num_sigmoids, self.extrema
             self.entropy_bottleneck_stanh = StanhEntropyBottleneck(
                 self.N,
-                num_sigmoids=self.num_sigmoids,
-                extrema=self.extrema,
+                num_sigmoids=sq.per_level_cfg(ns, self.n_rates)[0],
+                extrema=sq.per_level_cfg(ex, self.n_rates)[0],
                 symmetric=self.symmetric,
                 trainable=self.stanh_trainable,
             )
@@ -612,11 +617,22 @@ class StanhHyperpriorCodec(HyperpriorCodec):
 
 
 def _stanh_kwargs(gaussian_configuration: Sequence[dict]):
+    """Per-level quantizer knobs from the per-lambda config dicts.
+
+    The reference honors per-level num_sigmoids/extrema through its
+    per-level ModuleList (models/__init__.py:38-116); here they reach the
+    stacked StanhQuantizer as tuples (collapsed to a scalar when uniform so
+    single-rate module metadata stays unchanged)."""
     g0 = gaussian_configuration[0]
+
+    def knob(key):
+        vals = tuple(int(g[key]) for g in gaussian_configuration)
+        return vals[0] if len(set(vals)) == 1 else vals
+
     return dict(
         n_rates=len(gaussian_configuration),
-        num_sigmoids=int(g0["num_sigmoids"]),
-        extrema=int(g0["extrema"]),
+        num_sigmoids=knob("num_sigmoids"),
+        extrema=knob("extrema"),
         symmetric=bool(g0["symmetry"]),
         stanh_trainable=bool(g0.get("trainable", True)),
         removing_mean=bool(g0.get("removing_mean", False)),

@@ -175,3 +175,67 @@ def test_stanh_gc_module_forward():
     state = sq.derive_state(v["params"]["stanh"]["w"][0], v["params"]["stanh"]["b"][0], False)
     want = np.asarray(sq.hard_quantize(y - mu, state, False) + mu)
     np.testing.assert_allclose(np.asarray(y_hat), want, atol=1e-5)
+
+
+def test_per_level_extrema_orders_rates_at_init():
+    """Per-level extrema (fixed num_sigmoids, equal L) gives each rate level
+    a different step size at init — the stacked-parameter equivalent of the
+    reference's per-level ModuleList configs (models/__init__.py:38-116):
+    coarser steps (larger extrema/num_sigmoids jump) -> fewer bits."""
+    m = StanhGaussianConditional(
+        n_rates=3, num_sigmoids=20, extrema=(20, 10, 5)
+    )
+    rng = np.random.default_rng(11)
+    y = jnp.asarray(rng.normal(0, 2.5, (1, 8, 8, 16)), jnp.float32)
+    s = jnp.asarray(rng.uniform(0.3, 3, (1, 8, 8, 16)), jnp.float32)
+    mu = jnp.zeros_like(y)
+    v = m.init(jax.random.PRNGKey(0), y, s, mu)
+    assert v["params"]["stanh"]["w"].shape == (3, 20)
+    # row step sizes: 2*extrema/num_sigmoids approx (2e-1)/ns exactly
+    w = np.asarray(v["params"]["stanh"]["w"])
+    assert w[0, 0] > w[1, 0] > w[2, 0]
+
+    bits = []
+    for lv in range(3):
+        _, lik = m.apply(v, y, s, mu, training=False, lv=lv)
+        bits.append(float(-jnp.sum(jnp.log2(lik))))
+    # coarse (lv 0) codes fewer bits than fine (lv 2)
+    assert bits[0] < bits[1] < bits[2], bits
+
+
+def test_per_level_unequal_L_rejected():
+    with pytest.raises(ValueError, match="same number of steps"):
+        sq.StanhQuantizer(n_rates=2, num_sigmoids=0, extrema=(10, 5)).init(
+            jax.random.PRNGKey(0), 0, method=sq.StanhQuantizer.state
+        )
+
+
+def test_per_level_knobs_with_single_rate_fact_stanh():
+    """ScaleHyperpriorStanh's factorized stanh is single-rate (reference
+    builds one EntropyBottleneckStanh from factorized_configuration[0],
+    balle18_stanh.py:36-47): per-level gaussian knobs must collapse to the
+    level-0 value there instead of erroring."""
+    from reslic_tcm_tpu.models.stanh.variants import ScaleHyperpriorStanh
+
+    m = ScaleHyperpriorStanh(
+        N=16, M=32, n_rates=3, num_sigmoids=8, extrema=(12, 6, 3),
+        fact_stanh=True,
+    )
+    v = m.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32), training=True,
+    )
+    assert v["params"]["gaussian_conditional"]["stanh"]["w"].shape == (3, 8)
+    # EB stanh collapsed to level 0 (extrema=12), single rate row
+    assert v["params"]["entropy_bottleneck_stanh"]["stanh"]["w"].shape == (1, 8)
+    w_eb = np.asarray(v["params"]["entropy_bottleneck_stanh"]["stanh"]["w"])
+    w_gc = np.asarray(v["params"]["gaussian_conditional"]["stanh"]["w"])
+    np.testing.assert_allclose(w_eb[0], w_gc[0], atol=1e-6)
+
+
+def test_per_level_cfg_normalization():
+    assert sq.per_level_cfg(7, 3) == (7, 7, 7)
+    assert sq.per_level_cfg([4], 3) == (4, 4, 4)
+    assert sq.per_level_cfg((1, 2, 3), 3) == (1, 2, 3)
+    with pytest.raises(ValueError):
+        sq.per_level_cfg((1, 2), 3)
