@@ -116,9 +116,11 @@ run_train wacnn_stanh 12600 "wacnn_stanh" \
   --lambda_list 0.0025 0.0067 0.025 --gauss_trainable yes yes yes \
   --gauss_num_sigmoids 32 32 32 --gauss_extrema 48 24 12
 
-# 5. gain model for the interpolated-rate sweep
+# 5. gain model for the interpolated-rate sweep (spread init: levels
+# separated from epoch 0; the ones-init CPU run stayed within 0.1%)
 run_train scale_gain 10800 "scale_gain" \
-  $TRAIN -m scale_gain -e 30 --lambda_list 0.0025 0.025
+  $TRAIN -m scale_gain -e 30 --lambda_list 0.0025 0.025 \
+  --gain_init_spread 2.0
 
 # 6. RD eval of everything the queue trained (real codec, held-out set)
 run_step eval_rd 14400 bash artifacts/eval_rd_r3.sh

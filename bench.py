@@ -123,6 +123,11 @@ def main(argv=None):
                    help="measure the streamed profile: pipelined encode over "
                         "NBATCH batches (host rANS overlaps device compute) "
                         "+ 2-way threaded decode")
+    p.add_argument("--no-autotune", dest="autotune", action="store_false",
+                   default=True,
+                   help="skip the on-chip kernel autotune (attn layout + "
+                        "fused convs timed vs composed XLA); uses the "
+                        "requested flags with numerics-verify only")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="orbax checkpoint to bench instead of the scaled "
                         "random init (realistic symbol statistics; reports "
@@ -173,62 +178,114 @@ def main(argv=None):
         codec.set_matmul_precision("bfloat16")
     print(f"# init {time.time()-t0:.0f}s", file=sys.stderr)
     # Flash window-attention kernel (ops/flash_window_attn.py): 2x the
-    # composed XLA Swin block; on by default in throughput mode.
+    # composed XLA Swin block; on by default in throughput mode. Both the
+    # attention layout and the fused-conv kernel are AUTOTUNED on-chip:
+    # each candidate must (a) lower, (b) match the composed XLA path at
+    # bf16 tolerances, and (c) TIME faster at a stage-0-representative
+    # shape — the round-3 kernels have never been wall-clocked on this
+    # toolchain, so the headline must not bet on them blindly. Timeboxed
+    # (~per-candidate compile + 5 reps; skipped with --no-autotune).
+    _tune_t0 = time.time()
+
+    def _tune_budget_left():
+        return args.autotune and (time.time() - _tune_t0) < 240.0
+
+    def _numerics_check(m, v, x_small, ref_small):
+        # eager apply honors the CURRENT kernel flags call-by-call;
+        # elementwise agreement with the composed XLA path at bf16 tols
+        got = np.asarray(m.apply(v, x_small), np.float32)
+        np.testing.assert_allclose(got, ref_small, rtol=3e-2, atol=3e-2)
+
+    def _timed_apply(m, v, x, label, reps=3):
+        # fresh lambda per call -> its own jit cache entry, traced under
+        # the CURRENT kernel-enable flags (the flags are read at trace
+        # time; reusing one jitted fn would ignore flag flips)
+        f = jax.jit(lambda vv, xx: jnp.sum(m.apply(vv, xx)).astype(jnp.float32))
+        np.asarray(f(v, x))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            np.asarray(f(v, x))
+        dt = (time.perf_counter() - t0) / reps
+        print(f"# autotune {label}: {dt*1e3:.1f} ms", file=sys.stderr)
+        return dt
+
     if (args.fused_attn or not args.fp32) and dev.platform != "cpu":
-        enable_fused_attention(True, layout=args.attn_layout)
-        # Mosaic-lowering safety net: compile-probe the selected layout on
-        # a tiny block; if the kernel fails to lower on this toolchain,
-        # fall back to the round-2-validated 'bd' layout rather than
-        # letting the headline bench crash.
+        from reslic_tcm_tpu.ops.window_attention import SwinTransformerBlock
+
+        _m = SwinTransformerBlock(dim=128, head_dim=8, window_size=8)
+        _xs = jnp.asarray(
+            np.random.default_rng(5).normal(size=(1, 8, 32, 128)),
+            jnp.bfloat16,
+        )
+        _x = jnp.asarray(
+            np.random.default_rng(5).normal(size=(2, 96, 128, 128)),
+            jnp.bfloat16,
+        )
+        enable_fused_attention(False)
+        _v = _m.init(jax.random.PRNGKey(0), _xs)
+        with jax.default_matmul_precision("bfloat16"):
+            _refs = np.asarray(_m.apply(_v, _xs), np.float32)
+            if args.autotune:
+                t_comp = _timed_apply(_m, _v, _x, "swin composed")
+            else:
+                t_comp = float("inf")  # verify-only: prefer the fused path
+            best_t, best_layout = t_comp, "composed"
+            for layout in (args.attn_layout,
+                           "bd" if args.attn_layout == "hp" else "hp"):
+                if not _tune_budget_left() and layout != args.attn_layout:
+                    break
+                try:
+                    enable_fused_attention(True, layout=layout)
+                    _numerics_check(_m, _v, _xs, _refs)
+                    t_f = (_timed_apply(_m, _v, _x, f"swin fused {layout}")
+                           if args.autotune else 0.0)
+                    if t_f < best_t:
+                        best_t, best_layout = t_f, layout
+                except Exception as e:  # pragma: no cover - toolchain dep.
+                    print(f"# attn layout {layout} failed to lower/verify "
+                          f"({type(e).__name__})", file=sys.stderr)
+        if best_layout == "composed":
+            enable_fused_attention(False)
+        else:
+            enable_fused_attention(True, layout=best_layout)
+        args.attn_layout = best_layout
+    else:
+        args.attn_layout = "composed"
+    _RECORD["attn_layout"] = args.attn_layout
+
+    if (args.fused_convs or not args.fp32) and dev.platform != "cpu":
+        from reslic_tcm_tpu.ops.layers import ResidualBlock, enable_fused_convs
+
+        _m = ResidualBlock(features=128)
+        _xs = jnp.asarray(
+            np.random.default_rng(3).normal(size=(1, 16, 16, 128)),
+            jnp.bfloat16,
+        )
+        _x = jnp.asarray(
+            np.random.default_rng(3).normal(size=(2, 96, 128, 128)),
+            jnp.bfloat16,
+        )
+        enable_fused_convs(False)
+        _v = _m.init(jax.random.PRNGKey(0), _xs)
+        use_fused = False
         try:
-            from reslic_tcm_tpu.ops.window_attention import SwinTransformerBlock
-
-            _m = SwinTransformerBlock(dim=128, head_dim=8, window_size=8)
-            _x = jnp.asarray(
-                np.random.default_rng(5).normal(size=(1, 8, 32, 128)),
-                jnp.bfloat16,
-            )
-            _v = _m.init(jax.random.PRNGKey(0), _x)
             with jax.default_matmul_precision("bfloat16"):
-                _got = np.asarray(_m.apply(_v, _x), np.float32)
-                enable_fused_attention(False)
-                _ref = np.asarray(_m.apply(_v, _x), np.float32)
-                enable_fused_attention(True, layout=args.attn_layout)
-            np.testing.assert_allclose(_got, _ref, rtol=3e-2, atol=3e-2)
-        except Exception as e:  # pragma: no cover - toolchain dependent
-            print(f"# attn layout {args.attn_layout} failed to lower/verify "
-                  f"({type(e).__name__}); falling back to bd", file=sys.stderr)
-            enable_fused_attention(True, layout="bd")
-            args.attn_layout = "bd"
-    _RECORD["attn_layout"] = (
-        args.attn_layout
-        if (args.fused_attn or not args.fp32) and dev.platform != "cpu"
-        else "composed"
-    )
-    if args.fused_convs and dev.platform != "cpu":
-        from reslic_tcm_tpu.ops.layers import enable_fused_convs
-
-        try:
-            from reslic_tcm_tpu.ops.layers import ResidualBlock
-
-            _m = ResidualBlock(features=128)
-            _x = jnp.asarray(
-                np.random.default_rng(3).normal(size=(1, 16, 16, 128)),
-                jnp.bfloat16,
-            )
-            _v = _m.init(jax.random.PRNGKey(0), _x)
-            with jax.default_matmul_precision("bfloat16"):
-                _ref = np.asarray(_m.apply(_v, _x), np.float32)
-                enable_fused_convs(True)
-                _got = np.asarray(_m.apply(_v, _x), np.float32)
-            # lowering succeeded AND the kernel agrees with composed XLA
-            # (bf16 tolerances) — only then trust it for the headline.
-            np.testing.assert_allclose(_got, _ref, rtol=3e-2, atol=3e-2)
-            _RECORD["fused_convs"] = True
+                _refs = np.asarray(_m.apply(_v, _xs), np.float32)
+                t_ref = (_timed_apply(_m, _v, _x, "resblock composed")
+                         if args.autotune else float("inf"))
+                if _tune_budget_left() or args.fused_convs:
+                    enable_fused_convs(True)
+                    _numerics_check(_m, _v, _xs, _refs)
+                    t_f = (_timed_apply(_m, _v, _x, "resblock fused")
+                           if args.autotune else 0.0)
+                    # --fused-convs forces it on (A/B override); otherwise
+                    # the kernel must win the timing race
+                    use_fused = args.fused_convs or t_f < t_ref
         except Exception as e:  # pragma: no cover - toolchain dependent
             print(f"# fused convs failed to lower/verify "
                   f"({type(e).__name__}); disabled", file=sys.stderr)
-            enable_fused_convs(False)
+        enable_fused_convs(use_fused)
+        _RECORD["fused_convs"] = use_fused
 
     if args.checkpoint:
         # Real trained weights: realistic symbol entropy / escape rates for

@@ -101,6 +101,7 @@ def get_model(args, rng=None, input_shape=(256, 256)):
             codec = make_gained_hyperprior(
                 "scale", N=args.N, M=args.M, lmbda_list=args.lambda_list,
                 rng=rng, input_shape=input_shape,
+                gain_init_spread=getattr(args, "gain_init_spread", 0.0),
             )
         return codec, None, None, None, None
 
@@ -108,6 +109,7 @@ def get_model(args, rng=None, input_shape=(256, 256)):
         codec = make_gained_wacnn(
             N=args.N, M=args.M, lmbda_list=args.lambda_list, rng=rng,
             input_shape=input_shape,
+            gain_init_spread=getattr(args, "gain_init_spread", 0.0),
         )
         return codec, None, None, None, None
 

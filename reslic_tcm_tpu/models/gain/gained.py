@@ -43,8 +43,25 @@ class _GainParams:
 
     def _make_gains(self, levels: int, M: int, N: int):
         ones = nn.initializers.ones
-        self.Gain = self.param("Gain", ones, (levels, M))
-        self.InverseGain = self.param("InverseGain", ones, (levels, M))
+        spread = float(getattr(self, "gain_init_spread", 0.0) or 0.0)
+        if spread > 1.0 and levels > 1:
+            # Geometric ladder over the y gains: level 0 (lowest lambda)
+            # scales y down by 1/spread, the top level up by spread, so the
+            # levels code visibly different rates from epoch 0. The
+            # reference inits every gain at ones (GainBalle2018.py:73-76)
+            # and relies on per-level lambda gradients to separate them over
+            # its full training schedule; with short budgets the ones-init
+            # levels stay within 0.1% of each other (runs/r3cpu2). Hyper
+            # gains stay at ones — z is a small fraction of the rate.
+            expo = 2.0 * np.arange(levels, dtype=np.float32) / (levels - 1) - 1.0
+            g = np.repeat((spread ** expo)[:, None], M, axis=1)
+            self.Gain = self.param("Gain", lambda rng: jnp.asarray(g))
+            self.InverseGain = self.param(
+                "InverseGain", lambda rng: jnp.asarray(1.0 / g)
+            )
+        else:
+            self.Gain = self.param("Gain", ones, (levels, M))
+            self.InverseGain = self.param("InverseGain", ones, (levels, M))
         self.HyperGain = self.param("HyperGain", ones, (levels, N))
         self.InverseHyperGain = self.param("InverseHyperGain", ones, (levels, N))
 
@@ -55,6 +72,7 @@ class GainedScaleHyperprior(nn.Module, _GainParams):
     N: int = 192
     M: int = 320
     levels: int = 1
+    gain_init_spread: float = 0.0
     dtype: Any = None
 
     def setup(self):
@@ -148,22 +166,17 @@ class GainedMSHyperprior(GainedScaleHyperprior):
         return scales, means
 
 
-class GainedWACNN(WACNN):
+class GainedWACNN(WACNN, _GainParams):
     """WACNN with gain units around the slice loop (reference
     gain_wacnn.py:8-93) — via the ChannelARModule gain hooks, which also
     gives it the working compress/decompress the reference lacks."""
 
     levels: int = 1
+    gain_init_spread: float = 0.0
 
     def setup(self):
         WACNN.setup(self)
-        ones = nn.initializers.ones
-        self.Gain = self.param("Gain", ones, (self.levels, self.M))
-        self.InverseGain = self.param("InverseGain", ones, (self.levels, self.M))
-        self.HyperGain = self.param("HyperGain", ones, (self.levels, self.N))
-        self.InverseHyperGain = self.param(
-            "InverseHyperGain", ones, (self.levels, self.N)
-        )
+        self._make_gains(self.levels, self.M, self.N)
 
     def gain_y(self, y, lv):
         return y * jnp.abs(self.Gain[lv])[None, None, None, :]
@@ -245,9 +258,9 @@ class GainedHyperpriorCodec(HyperpriorCodec):
 
 def make_gained_hyperprior(kind: str = "scale", N: int = 192, M: int = 320,
                            lmbda_list: Sequence[float] = (0.043,), rng=None,
-                           input_shape: Tuple[int, int] = (256, 256)):
+                           input_shape: Tuple[int, int] = (256, 256), **kwargs):
     cls = {"scale": GainedScaleHyperprior, "mean-scale": GainedMSHyperprior}[kind]
-    module = cls(N=N, M=M, levels=len(lmbda_list))
+    module = cls(N=N, M=M, levels=len(lmbda_list), **kwargs)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     p_rng, n_rng = jax.random.split(rng)
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)

@@ -69,6 +69,11 @@ def parse_args(argv):
                              "(inferred from the env on TPU pods)")
     parser.add_argument("--process_id", type=int, default=None,
                         help="this process's id for --coordinator")
+    parser.add_argument("--gain_init_spread", type=float, default=0.0,
+                        help="gain models: init the per-level y gains on a "
+                             "geometric ladder spread^[-1..1] instead of "
+                             "the reference's all-ones (seeds rate "
+                             "separation at epoch 0; 0 = reference init)")
     parser.add_argument("--no-remat", dest="remat", action="store_false",
                         default=True,
                         help="disable gradient checkpointing of the "

@@ -156,3 +156,30 @@ def test_sc_gained_forward_and_roundtrip():
     out2 = codec.module.apply(codec.variables, x, qmap * 0 + 1.0, training=False, lv=0)
     out1 = codec.module.apply(codec.variables, x, qmap * 0, training=False, lv=0)
     assert np.abs(np.asarray(out2["x_hat"]) - np.asarray(out1["x_hat"])).max() > 0
+
+
+def test_gain_init_spread_seeds_level_separation():
+    """gain_init_spread=2 puts the per-level y gains on a geometric ladder
+    (0.5, 1, 2) with InverseGain = 1/Gain, so levels code different rates
+    from epoch 0 (the reference's all-ones init, GainBalle2018.py:73-76,
+    needs its full schedule to separate)."""
+    from reslic_tcm_tpu.models.gain.gained import GainedScaleHyperprior
+
+    m = GainedScaleHyperprior(N=16, M=32, levels=3, gain_init_spread=2.0)
+    v = m.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32), training=True,
+    )
+    g = np.asarray(v["params"]["Gain"])
+    ig = np.asarray(v["params"]["InverseGain"])
+    np.testing.assert_allclose(g[:, 0], [0.5, 1.0, 2.0], rtol=1e-6)
+    np.testing.assert_allclose(ig, 1.0 / g, rtol=1e-6)
+    # hyper gains stay at the reference ones-init
+    np.testing.assert_allclose(np.asarray(v["params"]["HyperGain"]), 1.0)
+    # default stays byte-identical to the reference init
+    m0 = GainedScaleHyperprior(N=16, M=32, levels=3)
+    v0 = m0.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 64, 64, 3), jnp.float32), training=True,
+    )
+    np.testing.assert_allclose(np.asarray(v0["params"]["Gain"]), 1.0)
