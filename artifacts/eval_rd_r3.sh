@@ -7,13 +7,15 @@ cd /root/repo
 mkdir -p runs/r3
 DATA=/root/repo/data_synth/test/data
 
-latest_ckpt() {  # newest run dir matching $1 that has a _very_best.ckpt
-  ls -dt runs/*"$1"*/_very_best.ckpt 2>/dev/null | head -1
+latest_ckpt() {  # newest run dir matching $1 (glob) with a _very_best.ckpt
+  # shellcheck disable=SC2086  # $1 may itself contain glob chars
+  ls -dt runs/*$1*/_very_best.ckpt 2>/dev/null | head -1
 }
 
-# TCM-Small points (lambda embedded in the run-dir name)
+# TCM-Small points (lambda embedded in the run-dir name; the tcm_64 tag
+# keeps multi-lambda stanh run dirs, which also contain _0.0025_, out)
 for lam in 0.0025 0.013 0.05; do
-  ck=$(latest_ckpt "_${lam}_")
+  ck=$(latest_ckpt "tcm_64*_${lam}_")
   [ -z "$ck" ] && { echo "no ckpt for lambda=$lam"; continue; }
   echo "=== tcm lambda=$lam ckpt=$ck"
   timeout 3600 python -m reslic_tcm_tpu.cli.eval --data "$DATA" \
@@ -27,7 +29,10 @@ if [ -n "$ck" ]; then
   echo "=== wacnn_stanh ckpt=$ck"
   timeout 5400 python -m reslic_tcm_tpu.cli.eval --data "$DATA" \
     --model wacnn_stanh --N 192 --M 320 --real \
-    --lambda_list 0.0025 0.0067 0.025 --checkpoint "$(realpath "$ck")" \
+    --lambda_list 0.0025 0.0067 0.025 \
+    --gauss_num_sigmoids 32 32 32 --gauss_extrema 48 24 12 \
+    --gauss_trainable yes yes yes \
+    --checkpoint "$(realpath "$ck")" \
     2>&1 | tee runs/r3/eval_wacnn_stanh.log | tail -6
 fi
 
