@@ -111,12 +111,19 @@ def main(argv=None):
             restored = load_checkpoint(args.checkpoint)
             codec.variables = {"params": restored["state"]["params"]}
 
-    if (is_stanh_name(args.model) and len(args.lambda_list) > 1
+    n_lam = len(args.lambda_list)
+    uniform_quant_init = (
+        len(set(args.gauss_num_sigmoids[:n_lam])) <= 1
+        and len(set(args.gauss_extrema[:n_lam])) <= 1
+    )
+    if (is_stanh_name(args.model) and n_lam > 1 and uniform_quant_init
             and all(t != "yes" for t in args.gauss_trainable)):
         # With every per-level quantizer frozen at the (identical) default
         # init, all rate levels compute the same function and the model
         # cannot become variable-rate (reference default is also "no";
-        # its multi-rate recipes pass --gauss_trainable yes ...).
+        # its multi-rate recipes pass --gauss_trainable yes ...). Per-level
+        # staircase inits (distinct extrema/num_sigmoids) are exempt:
+        # frozen levels still differ.
         print("WARNING: multi-lambda stanh training with all quantizers "
               "frozen (--gauss_trainable no ...): every level starts from "
               "the same frozen STanH, so the trained model will code "

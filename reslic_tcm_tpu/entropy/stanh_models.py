@@ -14,7 +14,12 @@ Coding note: the reference's stanh compress/decompress path is broken
 (undefined names, float offsets fed to the integer coder — see SURVEY.md
 section 7.4); here the codec path is *designed correct*: symbols are level
 indexes (offset 0), CDF rows integrate the model pmf over stanh levels, and
-round-trip equals the hard-quantized forward exactly.
+encode/decode are mutually bit-exact (mirrored compiled programs). The
+separately-compiled monolithic eval forward can differ from the codec by
+fp-level rounding: near a staircase threshold b_i the (y - mu) difference
+flips the symbol, and the finer the steps the more flips (measured on a
+trained 3-level staircase: coarse/mid levels exact, finest level ~3% of
+pixels at |x_hat diff| <= 0.013 — artifacts/eval_rd_stanh.py).
 """
 
 from __future__ import annotations
