@@ -30,7 +30,7 @@ if [ -n "$ck" ]; then
   timeout 5400 python -m reslic_tcm_tpu.cli.eval --data "$DATA" \
     --model wacnn_stanh --N 192 --M 320 --real \
     --lambda_list 0.0025 0.0067 0.025 \
-    --gauss_num_sigmoids 32 32 32 --gauss_extrema 48 24 12 \
+    --gauss_num_sigmoids 32 32 32 --gauss_extrema 32 16 8 \
     --gauss_trainable yes yes yes \
     --checkpoint "$(realpath "$ck")" \
     2>&1 | tee runs/r3/eval_wacnn_stanh.log | tail -6

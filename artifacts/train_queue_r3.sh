@@ -114,7 +114,7 @@ run_train tcm_05 10800 "tcm_64_False__25_25_25___0.05_" \
 run_train wacnn_stanh 12600 "wacnn_stanh" \
   $TRAIN -m wacnn_stanh -e 40 \
   --lambda_list 0.0025 0.0067 0.025 --gauss_trainable yes yes yes \
-  --gauss_num_sigmoids 32 32 32 --gauss_extrema 48 24 12
+  --gauss_num_sigmoids 32 32 32 --gauss_extrema 32 16 8
 
 # 5. gain model for the interpolated-rate sweep (spread init: levels
 # separated from epoch 0; the ones-init CPU run stayed within 0.1%)
