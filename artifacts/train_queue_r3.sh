@@ -39,7 +39,10 @@ run_step() {
   for attempt in 1 2 3 4; do
     wait_tpu
     echo "$(date +%F-%T) start $name (attempt $attempt): $*"
-    if timeout "$tmo" "$@"; then
+    # stallguard, not plain timeout: the tunnel's failure mode is a
+    # silent mid-RPC wedge; progress (log growth) is the liveness signal
+    # and a wedged attempt must not burn the whole step budget.
+    if bash artifacts/stallguard.sh 900 "$tmo" "runs/r3/${name}.log" "$@"; then
       touch "$marker"
       echo "$(date +%F-%T) done $name"
       return 0
@@ -73,7 +76,8 @@ run_train() {
     ck=$(latest_ckpt "$tag")
     [ -n "$ck" ] && resume=(--continue_train --checkpoint "$(realpath "$ck")")
     echo "$(date +%F-%T) start $name (attempt $attempt) resume=${ck:-none}: $*"
-    if timeout "$tmo" "$@" "${resume[@]}"; then
+    if bash artifacts/stallguard.sh 900 "$tmo" "runs/r3/${name}.log" \
+        "$@" "${resume[@]}"; then
       touch "$marker"
       echo "$(date +%F-%T) done $name"
       return 0

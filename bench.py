@@ -68,12 +68,15 @@ def _update_record(mps: float, mode: str, psnr=None, bpp=None):
             _RECORD["bpp"] = round(float(bpp), 4)
 
 
-def _device_available(attempts: int = 4, probe_timeout: int = 45,
+def _device_available(attempts: int = 3, probe_timeout: int = 75,
                       retry_sleep: int = 20) -> bool:
     """Probe the TPU from a SUBPROCESS with a hard timeout (a wedged axon
     relay hangs jax.devices() indefinitely in-process). Total probe window
-    is bounded to ~4 min (4x45s probes + 3x20s sleeps) so the failure JSON
-    always lands inside the harness budget."""
+    is bounded to ~4.5 min (3x75s probes + 2x20s sleeps) so the failure
+    JSON always lands inside the harness budget. 75 s per probe, not 45:
+    a cold-cache first compile over the tunnel (import jax ~10 s + device
+    dial + matmul compile 20-40 s) can legitimately take >45 s, and a
+    too-short probe reports a live-but-slow tunnel as down."""
     import subprocess
 
     for i in range(attempts):
@@ -338,6 +341,80 @@ def _run_profiles(args, codec, jax, jnp, np):
 
     x = jnp.asarray(np.concatenate([img(i) for i in range(args.batch)], axis=0))
 
+    # The serving profiles run FIRST: the axon tunnel's observed failure
+    # mode is a mid-run wedge after a short healthy window, and the
+    # SIGTERM/atexit flush reports the best profile completed so far — so
+    # the strongest (device-program-bound) numbers must land earliest.
+    serving_mps = 0.0
+    if not args.no_serving:
+        from reslic_tcm_tpu.models.base import unshuffle_u8
+
+        ksrv = 4096
+        n_srv = max(args.stream, 1) * 2  # deeper queue -> steadier pipeline
+        xs_p = [
+            jnp.asarray(
+                np.concatenate(
+                    [img(900 + j * args.batch + i) for i in range(args.batch)],
+                    0,
+                ).reshape(args.batch, args.height, args.width * 3)
+            )
+            for j in range(n_srv)
+        ]
+
+        def run_serving():
+            t0 = time.perf_counter()
+            outs = codec.serve_roundtrip_pipelined(xs_p, k=ksrv)
+            dt = time.perf_counter() - t0
+            return dt, outs
+
+        t0 = time.time()
+        run_serving()  # warm/compile
+        print(f"# serving warm/compile {time.time()-t0:.0f}s", file=sys.stderr)
+        best_dt, outs_v = run_serving()
+        for _ in range(max(args.iters - 1, 1)):
+            dt, outs_v = run_serving()
+            best_dt = min(best_dt, dt)
+        encs_v = [o["enc"] for o in outs_v]
+        unshuffle_u8(outs_v[0]["rgb_raw"])  # exercised as in real serving
+        srv_mp = n_srv * args.batch * args.height * args.width / 1e6
+        serving_mps = srv_mp / best_dt
+        srv_bpp = sum(e["nbytes"] for e in encs_v) * 8 / (srv_mp * 1e6)
+        print(
+            f"# serving profile ({n_srv}x B={args.batch}, analytic "
+            f"device coder): {best_dt*1000:.0f}ms -> {serving_mps:.2f} MP/s "
+            f"(bpp={srv_bpp:.3f})",
+            file=sys.stderr,
+        )
+        _update_record(serving_mps, "serving_rgb_delivery", bpp=srv_bpp)
+
+    # On-device-verification serving profile: decode computes per-image
+    # PSNR against the encoder's device-resident source; only the bitstream
+    # + metric scalars cross the host link — the reference eval's own
+    # measurement semantics (reference eval.py:101-159), and what a PCIe
+    # host sees (its pixel delivery costs ~1 ms, vs ~400 ms through this
+    # tunnel). This is the headline device-program-bound number.
+    metrics_mps = 0.0
+    if not args.no_serving:
+        def run_metrics():
+            t0 = time.perf_counter()
+            outs = codec.serve_roundtrip_metrics(xs_p, k=ksrv)
+            return time.perf_counter() - t0, outs
+
+        run_metrics()  # warm/compile
+        best_mt, outs_m = run_metrics()
+        for _ in range(max(args.iters - 1, 1)):
+            dt, outs_m = run_metrics()
+            best_mt = min(best_mt, dt)
+        metrics_mps = srv_mp / best_mt
+        psnrs = np.concatenate([o["psnr"] for o in outs_m])
+        print(
+            f"# metrics-serving profile ({n_srv}x B={args.batch}, on-device "
+            f"PSNR): {best_mt*1000:.0f}ms -> {metrics_mps:.2f} MP/s "
+            f"(psnr={psnrs.mean():.2f})",
+            file=sys.stderr,
+        )
+        _update_record(metrics_mps, "metrics_serving", psnr=psnrs.mean())
+
     # warmup (compiles all codec programs)
     t0 = time.time()
     encs = codec.compress_batch(x)
@@ -359,6 +436,15 @@ def _run_profiles(args, codec, jax, jnp, np):
 
     mp = args.batch * args.height * args.width / 1e6
     _update_record(mp / best, "batch_host_coder")
+    nbytes = sum(
+        len(e["strings"][0][0]) + sum(len(s) for s in e["strings"][1]) for e in encs
+    )
+    bpp = nbytes * 8 / (args.batch * args.height * args.width)
+    print(
+        f"# batch={args.batch} enc={enc_best*1000:.0f}ms dec={dec_best*1000:.0f}ms "
+        f"bpp={bpp:.3f}",
+        file=sys.stderr,
+    )
 
     stream_mps = 0.0
     if args.stream:
@@ -439,78 +525,6 @@ def _run_profiles(args, codec, jax, jnp, np):
         )
         _update_record(duplex_mps, "duplex_pipelined")
 
-    # TPU-native serving profile: fused one-program analytic codec (packed
-    # RGB input, raw-u8 output, single-container streams), pipelined.
-    serving_mps = 0.0
-    if not args.no_serving:
-        from concurrent.futures import ThreadPoolExecutor
-
-        from reslic_tcm_tpu.models.base import unshuffle_u8
-
-        ksrv = 4096
-        n_srv = max(args.stream, 1) * 2  # deeper queue -> steadier pipeline
-        xs_p = [
-            jnp.asarray(
-                np.concatenate(
-                    [img(900 + j * args.batch + i) for i in range(args.batch)],
-                    0,
-                ).reshape(args.batch, args.height, args.width * 3)
-            )
-            for j in range(n_srv)
-        ]
-
-        def run_serving():
-            t0 = time.perf_counter()
-            outs = codec.serve_roundtrip_pipelined(xs_p, k=ksrv)
-            dt = time.perf_counter() - t0
-            return dt, outs
-
-        run_serving()  # warm/compile
-        best_dt, outs_v = run_serving()
-        for _ in range(max(args.iters - 1, 1)):
-            dt, outs_v = run_serving()
-            best_dt = min(best_dt, dt)
-        encs_v = [o["enc"] for o in outs_v]
-        unshuffle_u8(outs_v[0]["rgb_raw"])  # exercised as in real serving
-        srv_mp = n_srv * args.batch * args.height * args.width / 1e6
-        serving_mps = srv_mp / best_dt
-        srv_bpp = sum(e["nbytes"] for e in encs_v) * 8 / (srv_mp * 1e6)
-        print(
-            f"# serving profile ({n_srv}x B={args.batch}, analytic "
-            f"device coder): {best_dt*1000:.0f}ms -> {serving_mps:.2f} MP/s "
-            f"(bpp={srv_bpp:.3f})",
-            file=sys.stderr,
-        )
-        _update_record(serving_mps, "serving_rgb_delivery", bpp=srv_bpp)
-
-    # On-device-verification serving profile: decode computes per-image
-    # PSNR against the encoder's device-resident source; only the bitstream
-    # + metric scalars cross the host link — the reference eval's own
-    # measurement semantics (reference eval.py:101-159), and what a PCIe
-    # host sees (its pixel delivery costs ~1 ms, vs ~400 ms through this
-    # tunnel). This is the headline device-program-bound number.
-    metrics_mps = 0.0
-    if not args.no_serving:
-        def run_metrics():
-            t0 = time.perf_counter()
-            outs = codec.serve_roundtrip_metrics(xs_p, k=ksrv)
-            return time.perf_counter() - t0, outs
-
-        run_metrics()  # warm/compile
-        best_mt, outs_m = run_metrics()
-        for _ in range(max(args.iters - 1, 1)):
-            dt, outs_m = run_metrics()
-            best_mt = min(best_mt, dt)
-        metrics_mps = srv_mp / best_mt
-        psnrs = np.concatenate([o["psnr"] for o in outs_m])
-        print(
-            f"# metrics-serving profile ({n_srv}x B={args.batch}, on-device "
-            f"PSNR): {best_mt*1000:.0f}ms -> {metrics_mps:.2f} MP/s "
-            f"(psnr={psnrs.mean():.2f})",
-            file=sys.stderr,
-        )
-        _update_record(metrics_mps, "metrics_serving", psnr=psnrs.mean())
-
     device_mps = 0.0
     if args.device_coder:
         enc = codec.compress_device(x, k=1024)
@@ -531,15 +545,6 @@ def _run_profiles(args, codec, jax, jnp, np):
         )
         _update_record(device_mps, "device_coder")
 
-    nbytes = sum(
-        len(e["strings"][0][0]) + sum(len(s) for s in e["strings"][1]) for e in encs
-    )
-    bpp = nbytes * 8 / (args.batch * args.height * args.width)
-    print(
-        f"# batch={args.batch} enc={enc_best*1000:.0f}ms dec={dec_best*1000:.0f}ms "
-        f"bpp={bpp:.3f}",
-        file=sys.stderr,
-    )
     _emit()
 
 
