@@ -3,23 +3,48 @@
 #
 # Runs CMD in its own session with stdout+stderr appended to LOGFILE.
 # Kills the whole process tree (SIGTERM first, so bench.py's flush
-# handler can emit its best-so-far JSON; SIGKILL 10 s later) when the
-# log stops growing for STALL_S seconds or TOTAL_S elapses. The axon
+# handler can emit its best-so-far JSON; SIGKILL 10 s later) when
+# progress stops for STALL_S seconds or TOTAL_S elapses. The axon
 # tunnel's failure mode is a silent mid-RPC wedge — a wedged client
 # burns its entire timeout doing nothing, so progress, not time, is the
 # right liveness signal.
+#
+# Progress = newest mtime over the log file AND any paths matched by the
+# colon-separated globs in $SG_PROGRESS (e.g. a checkpoint directory):
+# python block-buffers stdout when redirected, so log growth alone can go
+# silent for many epochs while training is healthy.  CMD is additionally
+# launched with PYTHONUNBUFFERED=1 so python logs flush line-by-line.
 #
 # Exit: CMD's status, or 124 (stall) / 125 (total budget).
 set -u
 STALL=$1; TOTAL=$2; LOG=$3; shift 3
 touch "$LOG"
-setsid "$@" >> "$LOG" 2>&1 &
+setsid env PYTHONUNBUFFERED=1 "$@" >> "$LOG" 2>&1 &
 PID=$!
 start=$(date +%s)
+
+newest_mtime() {
+  local best
+  best=$(stat -c %Y "$LOG" 2>/dev/null || echo 0)
+  if [ -n "${SG_PROGRESS:-}" ]; then
+    local IFS=':'
+    local pat t
+    for pat in $SG_PROGRESS; do
+      # shellcheck disable=SC2086
+      for f in $pat; do
+        t=$(stat -c %Y "$f" 2>/dev/null || echo 0)
+        (( t > best )) && best=$t
+      done
+    done
+  fi
+  echo "$best"
+}
+
 while kill -0 "$PID" 2>/dev/null; do
   sleep 15
   now=$(date +%s)
-  mt=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
+  mt=$(newest_mtime)
+  (( mt == 0 )) && mt=$now
   rc=""
   if (( now - mt > STALL )); then rc=124; fi
   if (( now - start > TOTAL )); then rc=125; fi

@@ -246,7 +246,8 @@ def main(argv=None):
                         best_t, best_layout = t_f, layout
                 except Exception as e:  # pragma: no cover - toolchain dep.
                     print(f"# attn layout {layout} failed to lower/verify "
-                          f"({type(e).__name__})", file=sys.stderr)
+                          f"({type(e).__name__}): "
+                          f"{str(e)[:500]}", file=sys.stderr)
         if best_layout == "composed":
             enable_fused_attention(False)
         else:
@@ -286,7 +287,8 @@ def main(argv=None):
                     use_fused = args.fused_convs or t_f < t_ref
         except Exception as e:  # pragma: no cover - toolchain dependent
             print(f"# fused convs failed to lower/verify "
-                  f"({type(e).__name__}); disabled", file=sys.stderr)
+                  f"({type(e).__name__}); disabled: "
+                  f"{str(e)[:800]}", file=sys.stderr)
         enable_fused_convs(use_fused)
         _RECORD["fused_convs"] = use_fused
 

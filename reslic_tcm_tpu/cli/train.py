@@ -44,7 +44,6 @@ def main(argv=None):
         create_train_state,
         make_eval_step,
         make_train_step,
-        needs_static_lv,
         shard_train_step,
     )
     from ..utils.checkpoint import ReduceLROnPlateau, save_checkpoint, load_checkpoint
@@ -176,41 +175,25 @@ def main(argv=None):
     n_dev = mesh.devices.size
     precision = "bfloat16" if getattr(args, "bf16", False) else None
 
-    # ONE train-step implementation (training/step.py). Models whose
-    # per-level quantizers are stacked params take lv as a TRACED scalar —
-    # one compilation covers every rate level; only the refinement variants
-    # (Python per-level submodules) compile per level.
-    static = needs_static_lv(module)
+    # ONE train-step implementation (training/step.py): lv is a TRACED
+    # scalar for every model (stacked per-level params / nn.switch), so one
+    # compilation covers every rate level.
+    _shared_step = shard_train_step(
+        make_train_step(module, main_tx, aux_tx, loss_type,
+                        matmul_precision=precision),
+        mesh,
+    )
+    jit_steps = {
+        lv: (lambda st, b, lm, r, beta, _lv=lv: _shared_step(
+            st, b, lm, r, jnp.int32(_lv), beta))
+        for lv in range(len(lambda_list))
+    }
 
-    def step_for(lv):
-        if static:
-            s = shard_train_step(
-                make_train_step(module, main_tx, aux_tx, loss_type,
-                                matmul_precision=precision, static_lv=lv),
-                mesh,
-            )
-            return lambda st, b, lm, r, beta: s(st, b, lm, r, None, beta)
-        return lambda st, b, lm, r, beta, _lv=lv: _shared_step(
-            st, b, lm, r, jnp.int32(_lv), beta
-        )
-
-    if not static:
-        _shared_step = shard_train_step(
-            make_train_step(module, main_tx, aux_tx, loss_type,
-                            matmul_precision=precision),
-            mesh,
-        )
-    jit_steps = {lv: step_for(lv) for lv in range(len(lambda_list))}
-
-    def eval_for(lv):
-        if static:
-            e = jax.jit(make_eval_step(module, loss_type, static_lv=lv))
-            return lambda p, b, lm: e(p, b, lm)
-        return lambda p, b, lm, _lv=lv: _shared_eval(p, b, lm, jnp.int32(_lv))
-
-    if not static:
-        _shared_eval = jax.jit(make_eval_step(module, loss_type))
-    jit_evals = {lv: eval_for(lv) for lv in range(len(lambda_list))}
+    _shared_eval = jax.jit(make_eval_step(module, loss_type))
+    jit_evals = {
+        lv: (lambda p, b, lm, _lv=lv: _shared_eval(p, b, lm, jnp.int32(_lv)))
+        for lv in range(len(lambda_list))
+    }
 
     best_loss = float("inf")
     counter = 0

@@ -32,7 +32,6 @@ from ...entropy.stanh_models import (
     stanh_gaussian_likelihood,
 )
 from ...entropy.gaussian import GaussianConditional
-from ...ops.layers import Conv
 from ...ops.math import get_scale_table
 from ..balle2018 import HyperpriorCodec, ScaleHyperprior
 from ..base import ChannelARCodec, ChannelARModule
@@ -40,6 +39,53 @@ from ..tcm import TCM
 from ..wacnn import WACNN
 
 DEFAULT_BETA = 10.0  # plain float: no device arrays at import time
+
+
+class _StackedConv1x1(nn.Module):
+    """Level-indexed 1x1 refinement convs stacked into [n_rates, cin, cout]
+    parameters (reference wacnn_stanh.py:174-206 keeps a ModuleList), so the
+    rate level `lv` can be a TRACED scalar: one compile covers every level,
+    like the stacked [n_rates, L] quantizer params elsewhere.
+
+    Each level is initialized exactly like an independent 1x1 torch Conv2d
+    (fan_in = cin), not with the stacked shape's inflated fan."""
+
+    n_rates: int
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, lv):
+        from ...ops.layers import torch_bias_init, torch_kernel_init
+
+        cin = x.shape[-1]
+
+        def kinit(key, shape, dtype=jnp.float32):
+            keys = jax.random.split(key, self.n_rates)
+            per = [
+                torch_kernel_init(k, (1, 1, cin, self.features), dtype)[0, 0]
+                for k in keys
+            ]
+            return jnp.stack(per)
+
+        def binit(key, shape, dtype=jnp.float32):
+            keys = jax.random.split(key, self.n_rates)
+            per = [
+                torch_bias_init(cin)(k, (self.features,), dtype) for k in keys
+            ]
+            return jnp.stack(per)
+
+        kernel = self.param(
+            "kernel", kinit, (self.n_rates, cin, self.features)
+        )
+        bias = self.param("bias", binit, (self.n_rates, self.features))
+        k = jnp.take(kernel, lv, axis=0)
+        b = jnp.take(bias, lv, axis=0)
+        if self.dtype is not None:
+            x, k, b = x.astype(self.dtype), k.astype(self.dtype), b.astype(self.dtype)
+        else:
+            k, b = k.astype(x.dtype), b.astype(x.dtype)
+        return x @ k + b
 
 
 class _StanhChannelARMixin:
@@ -137,14 +183,12 @@ class WACNNStanh(_StanhChannelARMixin, WACNN):
             removing_mean=self.removing_mean,
         )
         if self.refinement == "convolution":
-            self.refine_layer = [
-                Conv(self.M, kernel_size=1, name=f"refine_{i}")
-                for i in range(self.n_rates)
-            ]
+            self.refine_layer = _StackedConv1x1(
+                n_rates=self.n_rates, features=self.M, dtype=self.dtype,
+                name="refine",
+            )
         elif self.refinement == "multiple":
             # per-level synthesis: clone g_s n_rates times
-            from ..wacnn import WACNN as _W
-
             self.g_s_multi = [
                 nn.Sequential(self._make_g_s(), name=f"g_s_{i}")
                 for i in range(self.n_rates)
@@ -165,20 +209,35 @@ class WACNNStanh(_StanhChannelARMixin, WACNN):
         ]
 
     def apply_synthesis(self, y_hat, lv):
+        # Both refinement modes admit a TRACED lv (one compile across rate
+        # levels, matching the stacked [n_rates, L] quantizer design):
+        # 'convolution' indexes stacked [n_rates, cin, cout] params;
+        # 'multiple' selects among per-level g_s clones with nn.switch
+        # (all branches compile into ONE program, one executes).
         if self.refinement == "multiple":
-            return self.g_s_multi[lv](y_hat)
+            if self.is_initializing():
+                # lv is concrete during init; nn.switch can't initialize
+                # (each branch would create a different param set — flax
+                # requires identical structures). init_levels touches the
+                # remaining clones so every level's params exist.
+                return self.g_s_multi[int(lv)](y_hat)
+            branches = [
+                (lambda m, y, _i=i: m.g_s_multi[_i](y))
+                for i in range(self.n_rates)
+            ]
+            return nn.switch(lv, branches, self, y_hat)
         if self.refinement == "convolution":
-            return self.g_s(self.refine_layer[lv](y_hat))
+            return self.g_s(self.refine_layer(y_hat, lv))
         return self.g_s(y_hat)
 
     def init_levels(self, x):
         """Init-time trace touching every per-level submodule so all rate
         levels' params exist (linen creates params lazily per trace)."""
         out = self(x, training=True, lv=0)
-        if self.refinement != "none":
+        if self.refinement == "multiple":
             y_hat = out["para"]["y"]
             for i in range(1, self.n_rates):
-                _ = self.apply_synthesis(y_hat, i)
+                _ = self.g_s_multi[i](y_hat)
         return out
 
 

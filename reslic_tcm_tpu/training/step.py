@@ -10,10 +10,8 @@ This is the ONLY train-step implementation — the train CLI consumes it via
 `shard_train_step`. Multi-rate STanH models thread the rate level `lv` and
 annealing temperature `beta` through the same step as TRACED scalars (the
 stacked [n_rates, L] quantizer params are indexed with jnp.take), so one
-compilation covers every rate level. The exception is WACNN-STanH with
-refinement != 'none', whose per-level synthesis modules are a Python list:
-`needs_static_lv` reports it and `static_lv` bakes the level in (one
-compile per level, like the reference's per-level ModuleList forward).
+compilation covers every rate level — including the WACNN-STanH refinement
+modes (stacked refine convs / nn.switch over g_s clones).
 """
 
 from __future__ import annotations
@@ -48,15 +46,8 @@ def module_accepts(module, name: str) -> bool:
     return name in inspect.signature(type(module).__call__).parameters
 
 
-def needs_static_lv(module) -> bool:
-    """True when the module indexes per-level Python submodules with lv
-    (WACNN-STanH refinement modes) so lv cannot be a traced scalar."""
-    return getattr(module, "refinement", "none") != "none"
-
-
 def make_train_step(module, main_tx, aux_tx, loss_type: str = "mse",
-                    matmul_precision: str | None = None,
-                    static_lv: int | None = None):
+                    matmul_precision: str | None = None):
     """Returns train_step(state, batch, lmbda, rng, lv=None, beta=None)
     -> (state, metrics).
 
@@ -65,8 +56,6 @@ def make_train_step(module, main_tx, aux_tx, loss_type: str = "mse",
     trigger recompilation. matmul_precision="bfloat16" runs all convs /
     matmuls single-pass on the MXU (~4x on v5e; params, grads, and
     optimizer state stay fp32 — the standard mixed-precision recipe).
-    static_lv bakes the level into the trace for modules where
-    `needs_static_lv` is true.
     """
     accepts_lv = module_accepts(module, "lv")
     accepts_beta = module_accepts(module, "beta")
@@ -79,11 +68,8 @@ def make_train_step(module, main_tx, aux_tx, loss_type: str = "mse",
 
     def _forward_kwargs(lv, beta):
         kwargs = {}
-        if accepts_lv:
-            if static_lv is not None:
-                kwargs["lv"] = static_lv
-            elif lv is not None:
-                kwargs["lv"] = lv
+        if accepts_lv and lv is not None:
+            kwargs["lv"] = lv
         if accepts_beta and beta is not None:
             kwargs["beta"] = beta
         return kwargs
@@ -123,16 +109,13 @@ def make_train_step(module, main_tx, aux_tx, loss_type: str = "mse",
     return train_step
 
 
-def make_eval_step(module, loss_type: str = "mse", static_lv: int | None = None):
+def make_eval_step(module, loss_type: str = "mse"):
     accepts_lv = module_accepts(module, "lv")
 
     def eval_step(params, batch, lmbda, lv=None):
         kwargs = {}
-        if accepts_lv:
-            if static_lv is not None:
-                kwargs["lv"] = static_lv
-            elif lv is not None:
-                kwargs["lv"] = lv
+        if accepts_lv and lv is not None:
+            kwargs["lv"] = lv
         out = module.apply({"params": params}, batch, training=False, **kwargs)
         losses = rate_distortion_loss(out, batch, lmbda, loss_type)
         mse = jnp.mean((jnp.clip(out["x_hat"], 0, 1) - batch) ** 2)

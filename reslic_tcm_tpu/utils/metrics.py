@@ -67,10 +67,14 @@ def _ssim_components(x, y, kernel_1d, data_range, k1=0.01, k2=0.03):
 
 def _downsample2(x: jnp.ndarray) -> jnp.ndarray:
     """2x average pool, zero-padding odd sizes; divides by 4 including pad
-    (torch avg_pool2d count_include_pad=True — pytorch_msssim parity)."""
+    (torch avg_pool2d count_include_pad=True — pytorch_msssim parity).
+
+    pytorch_msssim passes padding=[H%2, W%2] to F.avg_pool2d, and torch
+    pads SYMMETRICALLY (that amount on each side), so an odd dim gets one
+    zero row/col on BOTH edges — not one trailing pad."""
     ph, pw = x.shape[1] % 2, x.shape[2] % 2
     if ph or pw:
-        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
     return jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
     ) / 4.0

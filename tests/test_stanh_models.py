@@ -129,6 +129,15 @@ def test_wacnn_stanh_refinement_modes():
         # different per-level decoders -> different reconstructions
         assert np.abs(np.asarray(o0["x_hat"]) - np.asarray(o1["x_hat"])).max() > 0
 
+    # real-codec roundtrip through the per-level synthesis selection
+    # (decompress runs apply_synthesis — nn.switch over the g_s clones for
+    # the loop's last variant, 'multiple' — with a concrete lv)
+    codec.update()
+    enc = codec.compress(x, lv=1)
+    dec = codec.decompress(enc["strings"], enc["shape"], lv=1)
+    want = np.clip(np.asarray(o1["x_hat"]), 0.0, 1.0)  # decompress clamps
+    assert np.abs(np.asarray(dec["x_hat"]) - want).max() < 1e-5
+
 
 def test_tcm_stanh_forward_and_roundtrip():
     from reslic_tcm_tpu.models.stanh.variants import make_tcm_stanh
