@@ -39,19 +39,19 @@ def _leaky(x):
 
 
 def _rb_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, xs, sem, *,
-               Ht, Wt, C, H, W, cd):
+               Ht, Wt, Wf, C, H, W, cd):
     i = pl.program_id(0)
     j = pl.program_id(1)
     k = pl.program_id(2)
 
     dma = pltpu.make_async_copy(
-        x_hbm.at[i, pl.ds(j * Ht, Ht + 4), pl.ds(k * Wt, Wt + 4), :],
+        x_hbm.at[i, pl.ds(j * Ht, Ht + 4), pl.ds(k * Wt, Wf), :],
         xs,
         sem,
     )
     dma.start()
     dma.wait()
-    x = xs[:]  # [Ht+4, Wt+4, C]
+    x = xs[:]  # [Ht+4, Wf, C]; compute reads columns [0, Wt+4)
 
     # conv1 over the one-ring-larger tile (conv2 consumes its halo)
     mid = None
@@ -105,6 +105,20 @@ def _pick_tile(n: int, cands=(64, 32, 16, 8)) -> int | None:
     return None
 
 
+# Mosaic constraint (v5e, observed on-chip): slicing an HBM memref along
+# the second-minor (W) dim requires offset AND size aligned to the sublane
+# tile (8).  Tile starts k*Wt are 8-aligned by _pick_tile; the halo'd fetch
+# size Wt+2*halo is not — so the DMA over-fetches to the next multiple of
+# 8 and the array is right-padded so the over-fetch stays in bounds.  The
+# kernel's static compute slices read only the first Wt+2*halo columns.
+_W_ALIGN = 8
+
+
+def _halo_fetch(Wt: int, halo: int) -> int:
+    need = Wt + 2 * halo
+    return (need + _W_ALIGN - 1) // _W_ALIGN * _W_ALIGN
+
+
 def fused_residual_block(x, w1, b1, w2, b2, *, compute_dtype=jnp.bfloat16,
                          interpret=False):
     """x: [B, H, W, C] NHWC; w1/w2: [3, 3, C, C] HWIO; b1/b2: [C].
@@ -119,11 +133,12 @@ def fused_residual_block(x, w1, b1, w2, b2, *, compute_dtype=jnp.bfloat16,
     if Ht is None or Wt is None or H < 8 or W < 8:
         return None
 
-    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    Wf = _halo_fetch(Wt, 2)
+    xp = jnp.pad(x, ((0, 0), (2, 2), (2, Wf - Wt - 2), (0, 0)))
     w1f = w1.reshape(9 * C, C)
     w2f = w2.reshape(9 * C, C)
 
-    kern = partial(_rb_kernel, Ht=Ht, Wt=Wt, C=C, H=H, W=W,
+    kern = partial(_rb_kernel, Ht=Ht, Wt=Wt, Wf=Wf, C=C, H=H, W=W,
                    cd=compute_dtype)
     const = lambda *_: (0, 0)  # noqa: E731
     return pl.pallas_call(
@@ -140,7 +155,7 @@ def fused_residual_block(x, w1, b1, w2, b2, *, compute_dtype=jnp.bfloat16,
         out_specs=pl.BlockSpec((1, Ht, Wt, C),
                                lambda i, j, k: (i, j, k, 0)),
         scratch_shapes=[
-            pltpu.VMEM((Ht + 4, Wt + 4, C), x.dtype),
+            pltpu.VMEM((Ht + 4, Wf, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -151,19 +166,19 @@ def fused_residual_block(x, w1, b1, w2, b2, *, compute_dtype=jnp.bfloat16,
 
 
 def _cgdn_kernel(x_hbm, w_ref, b_ref, gt_ref, beta_ref, skip_ref, o_ref,
-                 xs, sem, *, Ht, Wt, C, inverse, cd):
+                 xs, sem, *, Ht, Wt, Wf, C, inverse, cd):
     i = pl.program_id(0)
     j = pl.program_id(1)
     k = pl.program_id(2)
 
     dma = pltpu.make_async_copy(
-        x_hbm.at[i, pl.ds(j * Ht, Ht + 2), pl.ds(k * Wt, Wt + 2), :],
+        x_hbm.at[i, pl.ds(j * Ht, Ht + 2), pl.ds(k * Wt, Wf), :],
         xs,
         sem,
     )
     dma.start()
     dma.wait()
-    x = xs[:]  # [Ht+2, Wt+2, C]
+    x = xs[:]  # [Ht+2, Wf, C]; compute reads columns [0, Wt+2)
 
     y = None
     for a in range(3):
@@ -206,11 +221,12 @@ def fused_conv_gdn(x, w, b, gamma, beta, skip, *, inverse=False,
     if Ht is None or Wt is None:
         return None
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    Wf = _halo_fetch(Wt, 1)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, Wf - Wt - 1), (0, 0)))
     wf = w.reshape(9 * C, C)
     # IGDN's sqrt(norm) multiplies (not divides): out = y * sqrt(norm)
     # matches layers.py GDN(inverse=True)
-    kern = partial(_cgdn_kernel, Ht=Ht, Wt=Wt, C=C, inverse=inverse,
+    kern = partial(_cgdn_kernel, Ht=Ht, Wt=Wt, Wf=Wf, C=C, inverse=inverse,
                    cd=compute_dtype)
     const = lambda *_: (0, 0)  # noqa: E731
     return pl.pallas_call(
@@ -228,7 +244,7 @@ def fused_conv_gdn(x, w, b, gamma, beta, skip, *, inverse=False,
         out_specs=pl.BlockSpec((1, Ht, Wt, C),
                                lambda i, j, k: (i, j, k, 0)),
         scratch_shapes=[
-            pltpu.VMEM((Ht + 2, Wt + 2, C), x.dtype),
+            pltpu.VMEM((Ht + 2, Wf, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
