@@ -96,7 +96,12 @@ def main():
             xp = pad_nhwc(x, pad)
             npx = xp.shape[1] * xp.shape[2]
 
-            out = net.forward(xp, training=False, lv=lv)
+            # Codec-consistent eval forward (VERDICT r3 #8): the estimate
+            # and x_hat come from the codec's OWN compiled per-slice
+            # programs (StanhChannelARCodec.forward_codec_consistent), so
+            # forward-vs-codec symbol flips are impossible by construction
+            # and the recon_exact gate is strict equality.
+            out = net.forward_codec_consistent(xp, lv=lv)
             est_bits = float(sum(
                 -jnp.log2(l).sum() for l in out["likelihoods"].values()
             ))
@@ -108,21 +113,10 @@ def main():
                 for s in (grp if isinstance(grp, list) else [grp])
             )
 
-            # Forward-vs-codec reconstruction agreement. Bit-exactness
-            # between the monolithic forward program and the codec's
-            # per-slice programs is NOT guaranteed: XLA fuses them
-            # differently, and near a staircase threshold b_i the fp-level
-            # difference in (y - mu) flips the symbol — the finer the
-            # steps, the more flips (measured: levels 0/1 exact, level 2
-            # ~3% of pixels at |diff| <= 0.013 on the CPU-trained
-            # checkpoint). compress<->decompress self-consistency is
-            # separate and absolute (mirrored encoder: both sides run the
-            # SAME compiled programs). Gate: PSNR computed from the codec
-            # reconstruction within 0.1 dB of the forward's.
-            fwd_x = np.clip(np.asarray(out["x_hat"]), 0, 1)
+            fwd_x = np.asarray(out["x_hat"])  # already clipped in-program
             dec_x = np.asarray(dec["x_hat"])
             maxdiff = float(np.abs(fwd_x - dec_x).max())
-            exact_all = exact_all and maxdiff <= 1e-5
+            exact_all = exact_all and maxdiff == 0.0
             worst_maxdiff = max(worst_maxdiff, maxdiff)
 
             est_b += est_bits
@@ -156,7 +150,8 @@ def main():
     print(f"worst |coded-vs-estimate|: {worst:.2f}% "
           f"(informational; negative = 16-bit-CDF floor vs outliers)")
     print(f"forward-vs-codec recon: exact={exact_all} "
-          f"worst maxdiff={worst_maxdiff:.6f} (threshold flips; see note)")
+          f"worst maxdiff={worst_maxdiff:.6f} "
+          f"(codec-consistent forward: must be exact)")
     if args.out:
         with open(args.out, "a") as f:
             f.write(json.dumps({"ckpt": args.ckpt, "rows": rows,

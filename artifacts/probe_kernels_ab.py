@@ -69,7 +69,7 @@ with jax.default_matmul_precision("bfloat16"):
     rb = L.ResidualBlock(features=C)
     vr = rb.init(jax.random.PRNGKey(1), x)
     fr = jax.jit(lambda vv, xx: rb.apply(vv, xx))
-    _, ref = timed("residualblock composed XLA", lambda: fr(v=vr, xx=x))
+    _, ref = timed("residualblock composed XLA", lambda: fr(vr, x))
 
     L.enable_fused_convs(True)
     frf = jax.jit(lambda vv, xx: rb.apply(vv, xx))

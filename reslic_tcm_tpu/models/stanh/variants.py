@@ -445,6 +445,146 @@ class StanhChannelARCodec(ChannelARCodec):
         )
         return {"strings": [[y_string], z_strings], "shape": (zh, zw), "lv": lv}
 
+    def forward_codec_consistent(self, x, lv: int = 0) -> dict:
+        """Eval forward routed through the codec's OWN compiled programs.
+
+        The monolithic eval forward and the per-slice codec programs are
+        different XLA fusions of the same math; near a staircase threshold
+        the fp-level difference flips a symbol (measured ~3% of pixels at
+        the finest level of a trained 3-level staircase — module
+        docstring, entropy/stanh_models.py). This forward reuses the
+        compress() executables VERBATIM (same _jit cache keys ->
+        literally the same compiled programs), so its symbols — and
+        therefore x_hat and the bpp estimate — are bit-identical to what
+        compress()/decompress() produce. Returns the monolithic forward's
+        {"x_hat", "likelihoods": {"y", "z"}} contract.
+
+        Estimate semantics: y likelihood is the stanh interval integral at
+        the CODED symbol (what the rANS tables quantize to 16 bits);
+        z likelihood is the factorized model at round(z - median).
+        """
+        from ..base import ChannelARModule
+
+        scale_table = jnp.asarray(self.gaussian_conditional.scale_table)
+        y_shape = (x.shape[1] // 16, x.shape[2] // 16)
+        b = x.shape[0]
+
+        analysis = self._jit(
+            f"analysis_{lv}",
+            lambda v, xx, _lv=lv: self.module.apply(
+                v, xx, _lv, method=ChannelARModule.analysis
+            ),
+        )
+        y, z, z_hat = analysis(self.variables, x)
+
+        def _hyper(v, zz, _lv=lv):
+            return self.module.apply(
+                v, zz, _lv, method=ChannelARModule.hyper_synthesis
+            )
+
+        latent_means, latent_scales = self._jit(f"hyper_{lv}", _hyper)(
+            self.variables, z_hat
+        )
+
+        def _z_lik(v, zz):
+            return self.module.apply(
+                v, zz,
+                method=lambda mod, t: mod.entropy_bottleneck(
+                    t, training=False
+                )[1],
+            )
+
+        z_likelihoods = self._jit("z_lik", _z_lik)(self.variables, z)
+
+        y_hat_slices, y_liks = [], []
+        for i in range(self.module.num_slices):
+            step = self._jit(
+                f"dec_params_{i}_{y_shape}_{b}", self._make_params_fn(i, y_shape)
+            )
+            mu, _indexes, mean_support = step(
+                self.variables, latent_means, latent_scales, scale_table,
+                *y_hat_slices,
+            )
+
+            # sigma for the likelihood estimate (separate program; only the
+            # SYMBOL math must be fusion-identical to the coder)
+            def _sigma_fn(v, lm, ls, *sl, _i=i, _ys=y_shape):
+                return self.module.apply(
+                    v, _i, lm, ls, list(sl), _ys,
+                    method=ChannelARModule.decode_slice_params_sigma,
+                )[1]
+
+            sigma = self._jit(f"slice_sigma_{i}_{y_shape}", _sigma_fn)(
+                self.variables, latent_means, latent_scales, *y_hat_slices
+            )
+
+            def _sym_fn(v, yy, m, _i=i, _lv=lv):
+                def inner(mod, yy, m):
+                    c = mod.M // mod.num_slices
+                    y_slice = jax.lax.slice_in_dim(
+                        yy, _i * c, (_i + 1) * c, axis=-1
+                    )
+                    state = mod.gaussian_conditional.stanh.state(_lv)
+                    return sq.to_symbols(y_slice - m, state).astype(jnp.int16)
+
+                return self.module.apply(v, yy, m, method=inner)
+
+            sym = self._jit(f"stanh_sym_{i}_{lv}", _sym_fn)(self.variables, y, mu)
+
+            def _deq_fn(v, sy, m, _lv=lv):
+                return self.module.apply(
+                    v, sy, m, _lv,
+                    method=lambda mod, s, mm, l: mod.gaussian_conditional.dequantize(
+                        s, mm, l
+                    ),
+                )
+
+            y_hat_raw = self._jit(f"deq_{lv}", _deq_fn)(self.variables, sym, mu)
+
+            def _lik_fn(v, yh, sg, m, _lv=lv):
+                return self.module.apply(
+                    v, yh, sg, m,
+                    method=lambda mod, a, s, mm: stanh_gaussian_likelihood(
+                        a, s, mod.gaussian_conditional.stanh.state(_lv), mm,
+                        mod.gaussian_conditional.scale_bound,
+                        mod.gaussian_conditional.likelihood_bound,
+                    ),
+                )
+
+            y_liks.append(
+                self._jit(f"slice_lik_{lv}", _lik_fn)(
+                    self.variables, y_hat_raw, sigma, mu
+                )
+            )
+
+            def _finish_fn(v, ms, yh, _i=i):
+                return self.module.apply(
+                    v, _i, ms, yh, method=ChannelARModule.decode_slice_finish
+                )
+
+            y_hat_slices.append(
+                self._jit(f"dec_finish_{i}", _finish_fn)(
+                    self.variables, mean_support, y_hat_raw
+                )
+            )
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+
+        def _synth(v, yy, _lv=lv):
+            return self.module.apply(
+                v, yy, _lv,
+                method=lambda mod, h, l: jnp.clip(mod.apply_synthesis(h, l), 0.0, 1.0),
+            )
+
+        x_hat = self._jit(f"synth_{lv}", _synth)(self.variables, y_hat)
+        return {
+            "x_hat": x_hat,
+            "likelihoods": {
+                "y": jnp.concatenate(y_liks, axis=-1),
+                "z": z_likelihoods,
+            },
+        }
+
     def decompress(self, strings, shape, lv: int = 0) -> dict:
         from ...coding.rans import RansDecoder
 

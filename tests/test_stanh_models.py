@@ -64,6 +64,31 @@ def test_wacnn_stanh_roundtrip(wacnn_stanh):
         np.testing.assert_allclose(np.asarray(dec["x_hat"]), want, atol=1e-5)
 
 
+def test_codec_consistent_forward_is_bit_exact(wacnn_stanh):
+    """forward_codec_consistent reuses the codec's compiled programs, so
+    its x_hat must match decompress(compress(x)) EXACTLY (not atol) and
+    its bpp estimate must track the coded bytes (VERDICT r3 #8)."""
+    x = _image(seed=7)
+    wacnn_stanh.update()
+    for lv in range(2):
+        out = wacnn_stanh.forward_codec_consistent(x, lv=lv)
+        enc = wacnn_stanh.compress(x, lv=lv)
+        dec = wacnn_stanh.decompress(enc["strings"], enc["shape"], lv=lv)
+        assert np.array_equal(np.asarray(out["x_hat"]),
+                              np.asarray(dec["x_hat"])), f"lv={lv}"
+        est_bits = float(sum(
+            -jnp.log2(l).sum() for l in out["likelihoods"].values()
+        ))
+        coded_bits = 8.0 * sum(
+            len(s) for grp in enc["strings"]
+            for s in (grp if isinstance(grp, list) else [grp])
+        )
+        # untrained model: 16-bit CDF floor / outlier charging keep the
+        # coded size within a loose band of the estimate
+        assert coded_bits < est_bits * 1.3 + 200
+        assert coded_bits > est_bits * 0.6
+
+
 def test_wacnn_stanh_bpp_tracks_estimate(wacnn_stanh):
     x = _image(seed=2)
     wacnn_stanh.update()
