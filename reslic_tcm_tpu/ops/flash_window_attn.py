@@ -56,8 +56,9 @@ def _erf_poly(x):
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, lns_ref,
             lnb_ref, bias_ref, ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
-            b2_ref, seg_ref, o_ref, *, C, hd, w, shifted, nwh, nww,
-            compute_dtype, with_mlp, with_ln, tile, layout):
+            b2_ref, seg_ref, hm_ref, seg2_ref, penr_ref, penc_ref, o_ref,
+            *, C, hd, w, shifted, nwh, nww, compute_dtype, with_mlp,
+            with_ln, tile, layout):
     H = C // hd
     T = w * w  # tokens per window
     cd = compute_dtype
@@ -85,6 +86,8 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, lns_ref,
     else:
         ln = xf
 
+    # NOTE: the qkv weights arrive with hd^-0.5 already folded into the
+    # q columns (flash_window_block), so q needs no in-kernel scaling.
     qkv = (
         jax.lax.dot_general(
             ln.astype(cd), wqkv_ref[:].astype(cd), (((1,), (0,)), ((), ())),
@@ -92,26 +95,15 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, lns_ref,
         )
         + bqkv_ref[:].astype(jnp.float32)
     )
-    scale = jnp.float32(hd) ** -0.5
 
-    # block-diagonal head mask [H*T, C]: row block h keeps columns of head h
-    rows_h = jax.lax.broadcasted_iota(jnp.int32, (H * T, C), 0) // T
-    cols_h = jax.lax.broadcasted_iota(jnp.int32, (H * T, C), 1) // hd
-    head_mask = (rows_h == cols_h).astype(jnp.float32)
+    # block-diagonal head mask [H*T, C] (row block h keeps head h's
+    # columns) arrives as a VMEM-resident input — no per-step iota build
+    head_mask = hm_ref[:]
 
     hp = layout == "hp"
-    score_shape = (T, H * T) if hp else (H * T, T)
     if shifted:
-        # standard swin boundary masks, built from iota + program ids.
-        # 'bd': rows (h,p) -> %T gives p, lanes q. 'hp': rows p, lanes
-        # (h,q) -> %T gives q. The same formulas cover both layouts.
-        p_tok = jax.lax.broadcasted_iota(jnp.int32, score_shape, 0) % T
-        q_tok = jax.lax.broadcasted_iota(jnp.int32, score_shape, 1) % T
-        s = w // 2
-        p_r, q_r = p_tok // w, q_tok // w
-        p_c, q_c = p_tok % w, q_tok % w
-        blocked_r = (p_r < s) != (q_r < s)
-        blocked_c = (p_c < s) != (q_c < s)
+        # standard swin boundary masks, premultiplied by NEG_INF and
+        # passed as inputs; only the program-id gating stays in-kernel
         is_last_i = (pl.program_id(1) == nwh - 1).astype(jnp.float32)
         is_last_tile = (pl.program_id(2) == nww // tile - 1).astype(
             jnp.float32
@@ -119,7 +111,7 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, lns_ref,
 
     outs = []
     for t in range(tile):
-        q = qkv[t * T : (t + 1) * T, :C] * scale
+        q = qkv[t * T : (t + 1) * T, :C]
         k = qkv[t * T : (t + 1) * T, C : 2 * C]
         v = qkv[t * T : (t + 1) * T, 2 * C :]
 
@@ -127,10 +119,7 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, lns_ref,
             # column blocking applies only to the image's last window,
             # i.e. the last window of the last tile
             is_last_j = is_last_tile * jnp.float32(t == tile - 1)
-            pen = (
-                blocked_r.astype(jnp.float32) * is_last_i
-                + blocked_c.astype(jnp.float32) * is_last_j
-            ) * NEG_INF
+            pen = penr_ref[:] * is_last_i + penc_ref[:] * is_last_j
 
         if hp:
             # Head-packed layout: scores [T, H*T] (rows p, lanes (h, q))
@@ -172,13 +161,9 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, lns_ref,
             recip = 1.0 / jnp.maximum(segsum, 1e-30)
             # broadcast [T, H] -> [T, C] over each head's hd channels via
             # a tiny indicator matmul (lane-repeat is not reliably
-            # lowerable in Mosaic)
-            seg2 = (
-                jax.lax.broadcasted_iota(jnp.int32, (H, C), 1) // hd
-                == jax.lax.broadcasted_iota(jnp.int32, (H, C), 0)
-            ).astype(jnp.float32)
+            # lowerable in Mosaic); the [H, C] indicator is an input
             rb = jax.lax.dot_general(
-                recip, seg2, (((1,), (0,)), ((), ())),
+                recip, seg2_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             out = out * rb
@@ -294,6 +279,42 @@ def flash_window_block(x, wqkv, bqkv, wproj, bproj, ln_scale, ln_bias,
         np.arange(H * T)[:, None] // T == np.arange(H)[None, :]
     ).astype(np.float32)
     seg = jnp.asarray(seg)
+
+    # fold the q scaling into the qkv weights (saves a [T, C] multiply per
+    # window per grid step; fp32 weights scaled before the bf16 cast)
+    scale = np.float32(head_dim) ** -0.5
+    colscale = jnp.concatenate([
+        jnp.full((C,), scale, jnp.float32), jnp.ones((2 * C,), jnp.float32)
+    ])
+    wqkv = wqkv.astype(jnp.float32) * colscale[None, :]
+    bqkv = bqkv.astype(jnp.float32) * colscale
+
+    # per-step constants, hoisted out of the kernel (no iota rebuilds):
+    # block-diagonal head mask [H*T, C] and the [H, C] head->channel
+    # indicator used by the hp normalization broadcast
+    head_mask = jnp.asarray(
+        (np.arange(H * T)[:, None] // T
+         == np.arange(C)[None, :] // head_dim).astype(np.float32)
+    )
+    seg2 = jnp.asarray(
+        (np.arange(C)[None, :] // head_dim
+         == np.arange(H)[:, None]).astype(np.float32)
+    )
+    # shifted-window boundary penalties, premultiplied by NEG_INF.
+    # 'bd': rows (h,p) -> %T gives p, lanes q. 'hp': rows p, lanes
+    # (h,q) -> %T gives q. The same formulas cover both layouts.
+    score_shape = (T, H * T) if layout == "hp" else (H * T, T)
+    if shifted:
+        p_tok = np.arange(score_shape[0])[:, None] % T
+        q_tok = np.arange(score_shape[1])[None, :] % T
+        s = w // 2
+        blocked_r = ((p_tok // w < s) != (q_tok // w < s))
+        blocked_c = ((p_tok % w < s) != (q_tok % w < s))
+        pen_r = jnp.asarray(blocked_r.astype(np.float32) * NEG_INF)
+        pen_c = jnp.asarray(blocked_c.astype(np.float32) * NEG_INF)
+    else:
+        # unread when shifted=False (static); minimal VMEM placeholder
+        pen_r = pen_c = jnp.zeros((1, 128), jnp.float32)
     with_mlp = mlp is not None
     if with_mlp:
         ln2s, ln2b, w1, b1, w2, b2 = mlp
@@ -331,6 +352,10 @@ def flash_window_block(x, wqkv, bqkv, wproj, bproj, ln_scale, ln_bias,
             pl.BlockSpec((hid, C), const),
             pl.BlockSpec((1, C), const),
             pl.BlockSpec((H * T, H), const),
+            pl.BlockSpec((H * T, C), const),
+            pl.BlockSpec((H, C), const),
+            pl.BlockSpec(pen_r.shape, const),
+            pl.BlockSpec(pen_c.shape, const),
         ],
         out_specs=pl.BlockSpec((1, w, tile * w, C),
                                lambda i, j, kk: (i, j, kk, 0)),
@@ -354,6 +379,10 @@ def flash_window_block(x, wqkv, bqkv, wproj, bproj, ln_scale, ln_bias,
         w2,
         b2.reshape(1, -1),
         seg,
+        head_mask,
+        seg2,
+        pen_r,
+        pen_c,
     )
 
 
