@@ -194,23 +194,42 @@ def tiled_forward(codec, x: jnp.ndarray, tile: int = 512, overlap: int = 64,
         return jnp.clip(out["x_hat"], 0, 1), bits
 
     tiles, pos = tile_image(x, tile, overlap)
+
+    # Exact rate partition: each image pixel's likelihood is counted by
+    # exactly ONE tile. Ownership boundaries sit at the midpoint of each
+    # pair of adjacent tile starts (rounded to 64 so they land on whole
+    # z-latent cells: y-likelihoods live at 1/16 res, z at 1/64). This
+    # stays exact when the last tile is clamped to the image edge and
+    # overlaps its neighbour by more than `overlap` (the previous
+    # kept-area-fraction scaling over-counted there — measured +16% bpp
+    # at 2048x1408/tile 512).
+    def _bounds(starts, extent):
+        ss = sorted(set(starts))
+        cuts = [0]
+        for a, b in zip(ss[:-1], ss[1:]):
+            cuts.append(int(round((a + tile + b) / 2 / 64)) * 64)
+        cuts.append(extent)
+        return {s: (cuts[j], cuts[j + 1]) for j, s in enumerate(ss)}
+
+    row_own = _bounds([p[0] for p in pos], h)
+    col_own = _bounds([p[1] for p in pos], w)
+
     outs = []
     bits = 0.0
     for i in range(0, tiles.shape[0], tile_batch):
         chunk = tiles[i : i + tile_batch]
         out = codec.forward(chunk, training=False)
         outs.append(jnp.clip(out["x_hat"], 0, 1))
-        # rate: count only each tile's center contribution approximately by
-        # scaling with the kept-area fraction
         for k in range(chunk.shape[0]):
             y, x0 = pos[i + k]
-            y0 = 0 if y == 0 else overlap
-            x_0 = 0 if x0 == 0 else overlap
-            y1 = tile if y + tile >= h else tile - overlap
-            x_1 = tile if x0 + tile >= w else tile - overlap
-            frac = ((y1 - y0) * (x_1 - x_0)) / (tile * tile)
-            bits += frac * sum(
-                float(-jnp.log2(l[k]).sum()) for l in out["likelihoods"].values()
-            )
+            r0, r1 = row_own[y]
+            c0, c1 = col_own[x0]
+            for name, l in out["likelihoods"].items():
+                f = 16 if name == "y" else 64
+                bits += float(-jnp.log2(
+                    l[k,
+                      (r0 - y) // f : (r1 - y) // f,
+                      (c0 - x0) // f : (c1 - x0) // f]
+                ).sum())
     x_hat = untile_image(jnp.concatenate(outs, 0), pos, h, w, tile, overlap)
     return x_hat, bits
