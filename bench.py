@@ -547,7 +547,74 @@ def _run_profiles(args, codec, jax, jnp, np):
         )
         _update_record(device_mps, "device_coder")
 
+    if args.checkpoint is None:
+        _trained_quality_pass(args, jax, jnp, np, img)
+
     _emit()
+
+
+def _trained_quality_pass(args, jax, jnp, np, img):
+    """Annotate the record with REAL quality numbers from the newest
+    trained checkpoint in the repo (the headline throughput stays on the
+    baseline TCM-Large config; random-init psnr is meaningless — round-3
+    verdict). Auto-discovers runs/*tcm_64*/_very_best.ckpt (orbax) or the
+    committed checkpoints/tcm_s_*.npz fp16 snapshots; one eval forward at
+    the bench shape, ~1 compile. Best-effort: any failure leaves the
+    throughput record untouched."""
+    import glob as _glob
+
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        cks = sorted(
+            _glob.glob(os.path.join(here, "runs/*tcm_64*/_very_best.ckpt")),
+            key=os.path.getmtime)
+        npzs = sorted(
+            _glob.glob(os.path.join(here, "checkpoints/tcm_s_*.npz")),
+            key=os.path.getmtime)
+        if not cks and not npzs:
+            return
+        from reslic_tcm_tpu.models.tcm import make_tcm
+
+        codec = make_tcm(N=64, M=320, fast_init=True, dtype=jnp.bfloat16)
+        codec.set_matmul_precision("bfloat16")
+        if cks:
+            src = cks[-1]
+            from reslic_tcm_tpu.utils.checkpoint import load_checkpoint
+
+            restored = load_checkpoint(src)
+            tr = (restored["state"]["params"] if "state" in restored
+                  else restored["params"])
+        else:
+            src = npzs[-1]
+            with np.load(src) as z:
+                flat = {k: z[k].astype(np.float32) for k in z.files}
+            tr = {}
+            for key, v in flat.items():
+                node = tr
+                parts = key.split("/")
+                for pp in parts[:-1]:
+                    node = node.setdefault(pp, {})
+                node[parts[-1]] = v
+        codec.variables = {
+            "params": jax.tree_util.tree_map(jnp.asarray, tr)
+        }
+        x = jnp.asarray(np.concatenate([img(i) for i in range(2)], axis=0))
+        out = codec.forward(x, training=False)
+        xh = jnp.clip(out["x_hat"], 0, 1)
+        mse = float(jnp.mean((xh - x) ** 2))
+        bits = float(sum(
+            -jnp.log2(l).sum() for l in out["likelihoods"].values()
+        ))
+        px = x.shape[0] * x.shape[1] * x.shape[2]
+        _RECORD["trained_psnr_db"] = round(-10.0 * np.log10(mse), 2)
+        _RECORD["trained_bpp"] = round(bits / px, 4)
+        _RECORD["trained_model"] = f"tcm_n64 ({os.path.basename(os.path.dirname(src)) or os.path.basename(src)})"
+        print(f"# trained-quality pass ({src}): "
+              f"psnr={_RECORD['trained_psnr_db']} dB "
+              f"bpp={_RECORD['trained_bpp']}", file=sys.stderr)
+    except Exception as e:  # pragma: no cover — best-effort annotation
+        print(f"# trained-quality pass skipped ({type(e).__name__}: "
+              f"{str(e)[:200]})", file=sys.stderr)
 
 
 if __name__ == "__main__":
