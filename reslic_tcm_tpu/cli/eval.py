@@ -163,7 +163,7 @@ def main(argv=None):
     from ..models.tcm import make_tcm
     from ..ops.math import compute_padding, crop_nhwc, pad_nhwc
     from ..utils.checkpoint import load_checkpoint
-    from ..utils.metrics import compute_psnr, ms_ssim
+    from ..utils.metrics import compute_psnr, ms_ssim, msssim_to_db
 
     p = 128
     img_list = [f for f in list_images(args.data)]
@@ -226,7 +226,7 @@ def main(argv=None):
                 num_pixels = h * w
                 bpp = enc["nbytes"] * 8.0 / num_pixels
                 psnr_v = compute_psnr(x, x_hat)
-                msssim_v = -10 * math.log10(1 - float(ms_ssim(x, x_hat)))
+                msssim_v = msssim_to_db(float(ms_ssim(x, x_hat)))
                 print(f"Bitrate: {bpp:.3f}bpp")
                 print(f"MS-SSIM: {msssim_v:.2f}dB")
                 print(f"PSNR: {psnr_v:.2f}dB")
@@ -244,7 +244,7 @@ def main(argv=None):
             bpp = (len(out_enc["strings"][0][0]) + sum(
                 len(t) for t in out_enc["strings"][1])) * 8.0 / num_pixels
             psnr_v = compute_psnr(x, x_hat)
-            msssim_v = -10 * math.log10(1 - float(ms_ssim(x, x_hat)))
+            msssim_v = msssim_to_db(float(ms_ssim(x, x_hat)))
             print(f"Bitrate: {bpp:.3f}bpp")
             print(f"MS-SSIM: {msssim_v:.2f}dB")
             print(f"PSNR: {psnr_v:.2f}dB")
@@ -300,7 +300,7 @@ def main(argv=None):
                     -jnp.log2(l).sum() for l in out_net["likelihoods"].values()
                 ) / num_pixels)
             psnr_v = compute_psnr(x, x_hat)
-            msssim_v = -10 * math.log10(1 - float(ms_ssim(x, x_hat)))
+            msssim_v = msssim_to_db(float(ms_ssim(x, x_hat)))
             print(f"PSNR: {psnr_v:.2f}dB")
             print(f"MS-SSIM: {msssim_v:.2f}dB")
             print(f"Bit-rate: {bpp:.3f}bpp")

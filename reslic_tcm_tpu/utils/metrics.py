@@ -125,4 +125,13 @@ def compute_msssim(a, b) -> jnp.ndarray:
 
 def msssim_db(a, b) -> float:
     """-10 log10(1 - msssim), the reporting unit of eval.py:24-25."""
-    return float(-10 * math.log10(1 - float(ms_ssim(a, b))))
+    return msssim_to_db(float(ms_ssim(a, b)))
+
+
+def msssim_to_db(v: float) -> float:
+    """dB transform with an fp guard: ms_ssim can land at 1.0 (or 1+ulp)
+    on near-perfect reconstructions — cs is mathematically <= 1 but f32
+    rounding crosses it, and log10(1 - 1.0) is a domain error (hit on a
+    converged checkpoint's eval). 120 dB caps the scale well above any
+    real codec operating point."""
+    return float(min(-10 * math.log10(max(1.0 - v, 1e-12)), 120.0))
