@@ -180,8 +180,11 @@ def encode_gaussian(symbols, params, k: int = 1024, cap: int | None = None):
 
     x0 = jnp.full((k,), RANS_L, jnp.uint32)
     rev = lambda t: t[::-1]  # noqa: E731
+    # unroll: the scan body is ~30 vector ops on [k] lanes — per-step loop
+    # overhead dominates at k=1024-4096 (encode scans traced at 39 ms vs
+    # the decode segment scans' 7 ms); unrolling amortizes it 8x.
     x, (ws, needs) = jax.lax.scan(
-        step_fn, x0, (rev(start_g), rev(freq_g))
+        step_fn, x0, (rev(start_g), rev(freq_g)), unroll=8
     )
 
     needs_i = needs.astype(jnp.int32)
@@ -288,8 +291,11 @@ def encode_gaussian_grouped(symbols, params, k: int = 1024,
 
     x0 = jnp.full((k,), RANS_L, jnp.uint32)
     rev = lambda t: t[::-1]  # noqa: E731
+    # unroll: the scan body is ~30 vector ops on [k] lanes — per-step loop
+    # overhead dominates at k=1024-4096 (encode scans traced at 39 ms vs
+    # the decode segment scans' 7 ms); unrolling amortizes it 8x.
     x, (ws, needs) = jax.lax.scan(
-        step_fn, x0, (rev(start_g), rev(freq_g))
+        step_fn, x0, (rev(start_g), rev(freq_g)), unroll=8
     )
 
     # decode-read order: groups t = S-1-s_enc (so reverse rows back), lane
