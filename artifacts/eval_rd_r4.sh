@@ -30,6 +30,13 @@ if [ "$STAGE" = vr ] || [ "$STAGE" = all ]; then
   # multi-rate STanH (3 levels) — registry eval path, per-level real codec
   ck=$(ls -dt runs/*stanh*/_very_best.ckpt 2>/dev/null | head -1)
   if [ -n "$ck" ]; then
+    echo "=== wacnn_stanh RD gate (codec-consistent forward) ckpt=$ck"
+    timeout 5400 python artifacts/eval_rd_stanh.py \
+      --ckpt "$(realpath "$ck")" --data "$DATA" --model wacnn_stanh \
+      --N 192 --M 320 --lambda_list 0.0025 0.0067 0.025 \
+      --num_sigmoids 32 32 32 --extrema 32 16 8 --images 8 \
+      --out runs/r4/rd_stanh_gate_r4.jsonl \
+      2>&1 | tee runs/r4/gate_wacnn_stanh.log | tail -8
     echo "=== wacnn_stanh ckpt=$ck"
     timeout 5400 python -m reslic_tcm_tpu.cli.eval --data "$DATA" \
       --model wacnn_stanh --real \
