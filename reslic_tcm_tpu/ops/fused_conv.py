@@ -112,11 +112,26 @@ def _pick_tile(n: int, cands=(64, 32, 16, 8)) -> int | None:
 # 8 and the array is right-padded so the over-fetch stays in bounds.  The
 # kernel's static compute slices read only the first Wt+2*halo columns.
 _W_ALIGN = 8
+# Lane (C) extents of sliced memrefs must be multiples of the lane tile
+# (128): "Slice shape along dimension 3 must be aligned to tiling (128),
+# but is 192" (observed for C in {64, 192, 320}). The wrappers pad C up to
+# the next multiple of 128 with zeros — the MXU pads lanes to 128
+# physically either way, so the padded kernel costs what the hardware was
+# already paying — and slice the output back.
+_C_ALIGN = 128
 
 
 def _halo_fetch(Wt: int, halo: int) -> int:
     need = Wt + 2 * halo
     return (need + _W_ALIGN - 1) // _W_ALIGN * _W_ALIGN
+
+
+def _pad_c(x, cp, value=0.0):
+    pad = cp - x.shape[-1]
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    return jnp.pad(x, cfg, constant_values=value)
 
 
 def fused_residual_block(x, w1, b1, w2, b2, *, compute_dtype=jnp.bfloat16,
@@ -133,6 +148,18 @@ def fused_residual_block(x, w1, b1, w2, b2, *, compute_dtype=jnp.bfloat16,
     if Ht is None or Wt is None or H < 8 or W < 8:
         return None
 
+    C0 = C
+    Cp = (C + _C_ALIGN - 1) // _C_ALIGN * _C_ALIGN
+    if Cp != C:
+        # zero pad channels: conv over zero inputs with zero weights adds
+        # nothing; pad outputs are leaky(0 + bias 0) = 0, residual 0
+        x = _pad_c(x, Cp)
+        w1 = jnp.pad(w1, ((0, 0), (0, 0), (0, Cp - C), (0, Cp - C)))
+        w2 = jnp.pad(w2, ((0, 0), (0, 0), (0, Cp - C), (0, Cp - C)))
+        b1 = _pad_c(b1, Cp)
+        b2 = _pad_c(b2, Cp)
+        C = Cp
+
     Wf = _halo_fetch(Wt, 2)
     xp = jnp.pad(x, ((0, 0), (2, 2), (2, Wf - Wt - 2), (0, 0)))
     w1f = w1.reshape(9 * C, C)
@@ -141,7 +168,7 @@ def fused_residual_block(x, w1, b1, w2, b2, *, compute_dtype=jnp.bfloat16,
     kern = partial(_rb_kernel, Ht=Ht, Wt=Wt, Wf=Wf, C=C, H=H, W=W,
                    cd=compute_dtype)
     const = lambda *_: (0, 0)  # noqa: E731
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(B, H // Ht, W // Wt),
@@ -163,6 +190,7 @@ def fused_residual_block(x, w1, b1, w2, b2, *, compute_dtype=jnp.bfloat16,
         ),
         interpret=interpret,
     )(xp, w1f, b1.reshape(1, C), w2f, b2.reshape(1, C))
+    return out[..., :C0] if C0 != C else out
 
 
 def _cgdn_kernel(x_hbm, w_ref, b_ref, gt_ref, beta_ref, skip_ref, o_ref,
@@ -221,6 +249,19 @@ def fused_conv_gdn(x, w, b, gamma, beta, skip, *, inverse=False,
     if Ht is None or Wt is None:
         return None
 
+    C0 = C
+    Cp = (C + _C_ALIGN - 1) // _C_ALIGN * _C_ALIGN
+    if Cp != C:
+        # pad channels: conv output 0 (+bias 0); gamma rows/cols 0 with
+        # beta 1 give norm 1 for pad channels -> out_pad = 0*1 + skip(0)
+        x = _pad_c(x, Cp)
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, Cp - C), (0, Cp - C)))
+        b = _pad_c(b, Cp)
+        gamma = jnp.pad(gamma, ((0, Cp - C), (0, Cp - C)))
+        beta = _pad_c(beta, Cp, value=1.0)
+        skip = _pad_c(skip, Cp)
+        C = Cp
+
     Wf = _halo_fetch(Wt, 1)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, Wf - Wt - 1), (0, 0)))
     wf = w.reshape(9 * C, C)
@@ -229,7 +270,7 @@ def fused_conv_gdn(x, w, b, gamma, beta, skip, *, inverse=False,
     kern = partial(_cgdn_kernel, Ht=Ht, Wt=Wt, Wf=Wf, C=C, inverse=inverse,
                    cd=compute_dtype)
     const = lambda *_: (0, 0)  # noqa: E731
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(B, H // Ht, W // Wt),
@@ -252,3 +293,4 @@ def fused_conv_gdn(x, w, b, gamma, beta, skip, *, inverse=False,
         ),
         interpret=interpret,
     )(xp, wf, b.reshape(1, C), gamma.T, beta.reshape(1, C), skip)
+    return out[..., :C0] if C0 != C else out
