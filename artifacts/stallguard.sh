@@ -21,7 +21,7 @@ STALL=$1; TOTAL=$2; LOG=$3; shift 3
 # Mid-queue skip hook: if the step's .done marker appears (operator
 # decision to cut a training short), succeed immediately so the queue
 # advances instead of retrying the killed step.
-if [ -f "${3%.log}.done" ]; then echo "stallguard: ${3%.log}.done present, skipping"; exit 0; fi
+if [ -f "${LOG%.log}.done" ]; then echo "stallguard: ${LOG%.log}.done present, skipping"; exit 0; fi
 touch "$LOG"
 setsid env PYTHONUNBUFFERED=1 "$@" >> "$LOG" 2>&1 &
 PID=$!

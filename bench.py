@@ -44,9 +44,14 @@ def _emit():
         sys.stdout.flush()
 
 
+_EXIT_HOOKS = []  # run on signal exit too (os._exit skips atexit)
+
+
 def _on_term(signum, frame):
     print(f"# signal {signum}: flushing best-so-far JSON", file=sys.stderr)
     _emit()
+    for h in _EXIT_HOOKS:
+        h()
     os._exit(0 if _RECORD["value"] > 0 else 1)
 
 
@@ -135,7 +140,24 @@ def main(argv=None):
                    help="orbax checkpoint to bench instead of the scaled "
                         "random init (realistic symbol statistics; reports "
                         "real PSNR in the JSON record)")
+    p.add_argument("--out", type=str, default=None,
+                   help="also write the final JSON record to this path "
+                        "(queues assert on the file instead of parsing "
+                        "stdout through stallguard's log capture)")
     args = p.parse_args(argv)
+    if args.out:
+        out_path = args.out
+
+        def _write_out():
+            try:
+                with open(out_path, "w") as f:
+                    json.dump(_RECORD, f)
+                    f.write("\n")
+            except OSError as e:
+                print(f"# --out write failed: {e}", file=sys.stderr)
+
+        atexit.register(_write_out)
+        _EXIT_HOOKS.append(_write_out)
 
     _RECORD["metric"] = f"tcm_n{args.N}_encdec_throughput"
     _RECORD["precision"] = "fp32" if args.fp32 else "bf16"

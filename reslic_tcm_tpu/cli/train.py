@@ -108,7 +108,14 @@ def main(argv=None):
             warm_start_codec(codec, args.checkpoint)
         else:
             restored = load_checkpoint(args.checkpoint)
-            codec.variables = {"params": restored["state"]["params"]}
+            # full training checkpoint ({"state": {...}, "extra": {...}}) or a
+            # params-only snapshot restored from checkpoints/*.npz
+            # (artifacts/snapshot_ckpt.py --restore writes {"params": ...})
+            params = (restored["state"]["params"] if "state" in restored
+                      else restored["params"])
+            codec.variables = {"params": params}
+            if "state" not in restored:
+                restored = None  # warm start only: no optimizer state to resume
 
     n_lam = len(args.lambda_list)
     uniform_quant_init = (
