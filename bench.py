@@ -114,17 +114,22 @@ def _update_record(mps: float, mode: str, psnr=None, bpp=None):
             _RECORD["bpp"] = round(float(bpp), 4)
 
 
-def _device_available(attempts: int = 3, probe_timeout: int = 75,
-                      retry_sleep: int = 20) -> bool:
+def _device_available(attempts: int = 3, probe_timeout: int = 150,
+                      retry_sleep: int = 10) -> bool:
     """Probe the TPU from a SUBPROCESS with a hard timeout (a wedged axon
     relay hangs jax.devices() indefinitely in-process). Total probe window
-    is bounded to ~4.5 min (3x75s probes + 2x20s sleeps) so the failure
-    JSON always lands inside the harness budget. 75 s per probe, not 45:
+    is bounded to ~8 min (3x150s probes + 2x10s sleeps) so the failure
+    JSON always lands inside the harness budget. 150 s per probe, not 75:
     a cold-cache first compile over the tunnel (import jax ~10 s + device
-    dial + matmul compile 20-40 s) can legitimately take >45 s, and a
-    too-short probe reports a live-but-slow tunnel as down."""
+    dial + matmul compile) was MEASURED at 88 s on a live-but-slow tunnel
+    (2026-08-20), so a 75 s probe reported a working chip as down. The
+    probe subprocess shares the persistent compile cache so a completed
+    attempt-1 compile makes every later probe fast."""
     import subprocess
 
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
     for i in range(attempts):
         try:
             r = subprocess.run(
@@ -132,6 +137,7 @@ def _device_available(attempts: int = 3, probe_timeout: int = 75,
                  "import jax; d=jax.devices(); import jax.numpy as jnp; "
                  "float((jnp.ones((8,8))@jnp.ones((8,8))).sum()); print('ok')"],
                 timeout=probe_timeout, capture_output=True, text=True,
+                env=env,
             )
             if r.returncode == 0 and "ok" in r.stdout:
                 return True
