@@ -32,11 +32,14 @@ ckpt = sys.argv[1]
 data = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/data_synth/test/data"
 n_imgs = int(os.environ.get("SWEEP_IMAGES", "8"))
 
+_lambdas = tuple(
+    float(t) for t in os.environ.get("SWEEP_LAMBDAS", "0.0025 0.025").split()
+)
 codec = make_gained_hyperprior(
     "scale",
     N=int(os.environ.get("SWEEP_N", "192")),
     M=int(os.environ.get("SWEEP_M", "320")),
-    lmbda_list=(0.0025, 0.025),
+    lmbda_list=_lambdas,
 )
 restored = load_checkpoint(os.path.abspath(ckpt))
 params = restored["state"]["params"] if "state" in restored else restored["params"]
@@ -44,10 +47,13 @@ codec.variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
 codec.update()
 
 imgs = list_images(data)[:n_imgs]
-print(f"# {len(imgs)} images, levels=(0.0025, 0.025), interp={codec.interp}")
+print(f"# {len(imgs)} images, levels={_lambdas}, interp={codec.interp}")
 
+sweep = [(s, l) for s in range(len(_lambdas) - 1)
+         for l in (0.0, 0.25, 0.5, 0.75)]
+sweep.append((len(_lambdas) - 2, 1.0))  # the top trained level
 rows = []
-for s, l in [(0, 0.0), (0, 0.25), (0, 0.5), (0, 0.75), (1, 0.0)]:
+for s, l in sweep:
     bpp = psnr = 0.0
     for p in imgs:
         x = jnp.asarray(read_image(p))[None]

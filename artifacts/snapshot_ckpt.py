@@ -52,6 +52,10 @@ def main():
     ap.add_argument("--out", help="output path stem (writes .npz + .json)")
     ap.add_argument("--command", default="", help="exact retrain command")
     ap.add_argument("--metrics", default="{}", help="JSON metrics at snapshot")
+    ap.add_argument("--epoch-offset", type=int, default=0,
+                    help="epochs completed BEFORE the run this ckpt belongs "
+                    "to (params-only warm starts reset the in-run counter); "
+                    "metrics.epochs is recorded as offset + in-run epoch + 1")
     ap.add_argument("--note", default="")
     ap.add_argument("--restore", help="npz snapshot to restore")
     ap.add_argument("--to", help="orbax dir to restore into")
@@ -93,14 +97,21 @@ def main():
     git = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
                          text=True, cwd=os.path.dirname(
                              os.path.dirname(os.path.abspath(__file__))))
+    in_run_epoch = (restored.get("extra") or {}).get("epoch",
+                                                     restored.get("epoch"))
+    metrics = json.loads(args.metrics)
+    if in_run_epoch is not None and "epochs" not in metrics:
+        metrics["epochs"] = args.epoch_offset + int(in_run_epoch) + 1
     manifest = {
         "source_ckpt": args.ckpt,
-        "epoch": restored.get("epoch"),
+        "epoch": in_run_epoch,
+        "epoch_offset": args.epoch_offset,
+        "val_loss": (restored.get("extra") or {}).get("val_loss"),
         "git_commit": git.stdout.strip(),
         "retrain_command": args.command,
         "corpus": "python -m reslic_tcm_tpu.data.synthetic data_synth 1200 "
                   "(deterministic: per-image seeded rng, seed 0)",
-        "metrics": json.loads(args.metrics),
+        "metrics": metrics,
         "dtype": "fp16 (params-only; consumed in fp32/bf16 matmuls)",
         "note": args.note,
     }

@@ -31,6 +31,13 @@ PID=$!
 echo "$PID" > "${LOG%.log}.pid"
 trap 'rm -f "${LOG%.log}.pid"' EXIT
 start=$(date +%s)
+# Cap the cumulative SIGSTOP-pause allowance: if bench.py dies without its
+# SIGCONT hook (SIGKILL/OOM skip atexit), the trainer would otherwise stay
+# stopped forever while the T-state branch extends the budget indefinitely.
+# Past the cap stallguard resumes the group itself and normal accounting
+# takes over.
+PAUSE_CAP=${SG_PAUSE_CAP:-1800}
+paused=0
 
 newest_mtime() {
   local best
@@ -56,9 +63,15 @@ while kill -0 "$PID" 2>/dev/null; do
   # budget by the paused interval so a long bench can't eat the step's time.
   state=$(ps -o stat= -p "$PID" 2>/dev/null || true)
   if [[ "${state:-}" == T* ]]; then
-    start=$((start + 15))
-    touch "$LOG"   # keep mtime fresh so resume doesn't read as a stall
-    continue
+    if (( paused >= PAUSE_CAP )); then
+      echo "stallguard: pause cap ${PAUSE_CAP}s exceeded; SIGCONT group $PID" >> "$LOG"
+      kill -CONT -- "-$PID" 2>/dev/null
+    else
+      paused=$((paused + 15))
+      start=$((start + 15))
+      touch "$LOG"   # keep mtime fresh so resume doesn't read as a stall
+      continue
+    fi
   fi
   now=$(date +%s)
   mt=$(newest_mtime)

@@ -87,7 +87,11 @@ def _pause_training_queue():
         except (OSError, ValueError):
             continue
     if stopped:
-        print(f"# paused training group(s) {stopped} for uncontended timing")
+        # stderr, NOT stdout: stdout is the JSON record channel, and under
+        # SIGTERM the resume hook runs AFTER _emit — a stdout print there
+        # would land after the JSON line and break last-line consumers.
+        print(f"# paused training group(s) {stopped} for uncontended timing",
+              file=sys.stderr)
 
         def _resume():
             for p in stopped:
@@ -95,10 +99,33 @@ def _pause_training_queue():
                     os.killpg(p, signal.SIGCONT)
                 except OSError:
                     pass
-            print(f"# resumed training group(s) {stopped}")
+            print(f"# resumed training group(s) {stopped}", file=sys.stderr)
 
         atexit.register(_resume)
         _EXIT_HOOKS.append(_resume)
+
+
+_LOCK_PATH = "/tmp/bench_active.lock"
+
+
+def _take_bench_lock():
+    """Advertise an active bench so the training queue's run_step defers
+    launching the NEXT step into the timing window (ADVICE r4: the startup
+    pause scan is one-shot and can't see a trainer launched mid-bench)."""
+    try:
+        with open(_LOCK_PATH, "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        return
+
+    def _drop():
+        try:
+            os.unlink(_LOCK_PATH)
+        except OSError:
+            pass
+
+    atexit.register(_drop)
+    _EXIT_HOOKS.append(_drop)
 
 
 def _update_record(mps: float, mode: str, psnr=None, bpp=None):
@@ -212,6 +239,7 @@ def main(argv=None):
         _RECORD["weights"] = "trained"
 
     if not args.cpu:
+        _take_bench_lock()
         _pause_training_queue()
 
     if not args.cpu and not _device_available():
@@ -284,6 +312,44 @@ def main(argv=None):
         print(f"# autotune {label}: {dt*1e3:.1f} ms", file=sys.stderr)
         return dt
 
+    # --- autotune resilience (VERDICT r4 weak #2: BENCH_r04 lost its fused
+    # kernels to ONE transient remote-compile HTTP 500 with no retry, no
+    # last-known-good fallback, and no degraded flag on the record) --------
+    _TUNE_LKG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_tune.json")
+
+    def _load_lkg():
+        try:
+            with open(_TUNE_LKG) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _mark_degraded(reason):
+        _RECORD["degraded"] = True
+        prev = _RECORD.get("degraded_reason", "")
+        _RECORD["degraded_reason"] = (prev + "; " if prev else "") + reason
+        print(f"# DEGRADED: {reason}", file=sys.stderr)
+
+    def _retrying(label, fn, attempts=3, sleep_s=8.0):
+        """fn() with retries for transient toolchain failures (remote
+        compile-helper 5xx, tunnel hiccups). Returns (result, None) on
+        success or (None, last_error) after exhausting attempts."""
+        err = None
+        for i in range(attempts):
+            try:
+                return fn(), None
+            except Exception as e:  # pragma: no cover - toolchain dependent
+                err = e
+                print(f"# {label} attempt {i + 1}/{attempts} failed "
+                      f"({type(e).__name__}): {str(e)[:300]}",
+                      file=sys.stderr)
+                if i < attempts - 1:
+                    time.sleep(sleep_s)
+        return None, err
+
+    _lkg = _load_lkg()
+
     if (args.fused_attn or not args.fp32) and dev.platform != "cpu":
         from reslic_tcm_tpu.ops.window_attention import SwinTransformerBlock
 
@@ -301,7 +367,13 @@ def main(argv=None):
         with jax.default_matmul_precision("bfloat16"):
             _refs = np.asarray(_m.apply(_v, _xs), np.float32)
             if args.autotune:
-                t_comp = _timed_apply(_m, _v, _x, "swin composed")
+                t_comp, _e = _retrying(
+                    "swin composed timing",
+                    lambda: _timed_apply(_m, _v, _x, "swin composed"))
+                if t_comp is None:
+                    t_comp = float("inf")
+                    _mark_degraded("composed swin timing untestable "
+                                   f"({type(_e).__name__})")
             else:
                 t_comp = float("inf")  # verify-only: prefer the fused path
             best_t, best_layout = t_comp, "composed"
@@ -309,17 +381,39 @@ def main(argv=None):
                            "bd" if args.attn_layout == "hp" else "hp"):
                 if not _tune_budget_left() and layout != args.attn_layout:
                     break
-                try:
+
+                def _verify(layout=layout):
                     enable_fused_attention(True, layout=layout)
                     _numerics_check(_m, _v, _xs, _refs)
-                    t_f = (_timed_apply(_m, _v, _x, f"swin fused {layout}")
-                           if args.autotune else 0.0)
-                    if t_f < best_t:
-                        best_t, best_layout = t_f, layout
-                except Exception as e:  # pragma: no cover - toolchain dep.
-                    print(f"# attn layout {layout} failed to lower/verify "
-                          f"({type(e).__name__}): "
-                          f"{str(e)[:500]}", file=sys.stderr)
+
+                _ok, _e = _retrying(f"attn {layout} lower/verify", _verify)
+                if _e is not None:
+                    _mark_degraded(f"attn layout {layout} failed to "
+                                   f"lower/verify after retries "
+                                   f"({type(_e).__name__}: {str(_e)[:200]})")
+                    continue
+                if not args.autotune:
+                    best_t, best_layout = 0.0, layout
+                    break
+                t_f, _e = _retrying(
+                    f"attn {layout} timing",
+                    lambda layout=layout: _timed_apply(
+                        _m, _v, _x, f"swin fused {layout}"))
+                if t_f is None:
+                    # kernel verified but the timing probe broke: fall back
+                    # to the persisted last-known-good on-chip decision
+                    if _lkg.get("attn_layout") == layout:
+                        best_t, best_layout = -1.0, layout
+                        _RECORD["attn_from_lkg"] = True
+                        print(f"# attn {layout}: timing untestable, adopted "
+                              "from last-known-good bench_tune.json",
+                              file=sys.stderr)
+                        break
+                    _mark_degraded(f"attn layout {layout} verified but "
+                                   f"untimeable ({type(_e).__name__})")
+                    continue
+                if t_f < best_t:
+                    best_t, best_layout = t_f, layout
         if best_layout == "composed":
             enable_fused_attention(False)
         else:
@@ -344,25 +438,66 @@ def main(argv=None):
         enable_fused_convs(False)
         _v = _m.init(jax.random.PRNGKey(0), _xs)
         use_fused = False
-        try:
-            with jax.default_matmul_precision("bfloat16"):
-                _refs = np.asarray(_m.apply(_v, _xs), np.float32)
-                t_ref = (_timed_apply(_m, _v, _x, "resblock composed")
-                         if args.autotune else float("inf"))
-                if _tune_budget_left() or args.fused_convs:
+        with jax.default_matmul_precision("bfloat16"):
+            _refs = np.asarray(_m.apply(_v, _xs), np.float32)
+            if args.autotune:
+                t_ref, _e = _retrying(
+                    "resblock composed timing",
+                    lambda: _timed_apply(_m, _v, _x, "resblock composed"))
+                if t_ref is None:
+                    t_ref = float("inf")
+                    _mark_degraded("composed resblock timing untestable "
+                                   f"({type(_e).__name__})")
+            else:
+                t_ref = float("inf")
+            if _tune_budget_left() or args.fused_convs:
+
+                def _verify_convs():
                     enable_fused_convs(True)
                     _numerics_check(_m, _v, _xs, _refs)
-                    t_f = (_timed_apply(_m, _v, _x, "resblock fused")
-                           if args.autotune else 0.0)
-                    # --fused-convs forces it on (A/B override); otherwise
-                    # the kernel must win the timing race
-                    use_fused = args.fused_convs or t_f < t_ref
-        except Exception as e:  # pragma: no cover - toolchain dependent
-            print(f"# fused convs failed to lower/verify "
-                  f"({type(e).__name__}); disabled: "
-                  f"{str(e)[:800]}", file=sys.stderr)
+
+                _ok, _e = _retrying("fused convs lower/verify", _verify_convs)
+                if _e is not None:
+                    _mark_degraded("fused convs failed to lower/verify "
+                                   f"after retries ({type(_e).__name__}: "
+                                   f"{str(_e)[:300]})")
+                elif args.fused_convs or not args.autotune:
+                    use_fused = True  # forced A/B override / verify-only
+                else:
+                    t_f, _e = _retrying(
+                        "fused convs timing",
+                        lambda: _timed_apply(_m, _v, _x, "resblock fused"))
+                    if t_f is None:
+                        # verified but untimeable: persisted last-known-good
+                        # on-chip decision breaks the tie
+                        use_fused = bool(_lkg.get("fused_convs", False))
+                        if use_fused:
+                            _RECORD["fused_convs_from_lkg"] = True
+                            print("# fused convs: timing untestable, adopted"
+                                  " from last-known-good bench_tune.json",
+                                  file=sys.stderr)
+                        else:
+                            _mark_degraded("fused convs verified but "
+                                           f"untimeable ({type(_e).__name__})"
+                                           " and no last-known-good record")
+                    else:
+                        use_fused = t_f < t_ref
         enable_fused_convs(use_fused)
         _RECORD["fused_convs"] = use_fused
+
+    # Persist the winning on-chip kernel config for future benches to fall
+    # back on when the toolchain has a transient outage (VERDICT r4 #1i).
+    if (args.autotune and not args.fp32 and dev.platform != "cpu"
+            and not _RECORD.get("degraded")):
+        try:
+            with open(_TUNE_LKG, "w") as f:
+                json.dump({"attn_layout": args.attn_layout,
+                           "fused_convs": _RECORD.get("fused_convs", False),
+                           "device": str(dev),
+                           "stamped": time.strftime("%Y-%m-%d %H:%M:%S")}, f)
+                f.write("\n")
+        except OSError:
+            pass
 
     if args.checkpoint:
         # Real trained weights: realistic symbol entropy / escape rates for
@@ -626,38 +761,58 @@ def _run_profiles(args, codec, jax, jnp, np):
 
 
 def _trained_quality_pass(args, jax, jnp, np, img):
-    """Annotate the record with REAL quality numbers from the newest
-    trained checkpoint in the repo (the headline throughput stays on the
-    baseline TCM-Large config; random-init psnr is meaningless — round-3
-    verdict). Auto-discovers runs/*tcm_64*/_very_best.ckpt (orbax) or the
-    committed checkpoints/tcm_s_*.npz fp16 snapshots; one eval forward at
-    the bench shape, ~1 compile. Best-effort: any failure leaves the
-    throughput record untouched."""
+    """Annotate the record with REAL quality numbers from the repo's most
+    CONVERGED trained checkpoint, selected by MANIFEST metrics (epochs
+    trained), never by mtime: BENCH_r04 scraped an epoch-2 mid-restart
+    checkpoint because the old picker took the newest runs/ file while a
+    committed 50-epoch snapshot sat in checkpoints/ (VERDICT r4 weak #3).
+    Committed checkpoints/tcm_s_*.json manifests are authoritative; live
+    runs/ orbax dirs are only a fallback when no manifest exists. The JSON
+    record names which manifest was used. Best-effort: any failure leaves
+    the throughput record untouched."""
     import glob as _glob
 
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        cks = sorted(
-            _glob.glob(os.path.join(here, "runs/*tcm_64*/_very_best.ckpt")),
-            key=os.path.getmtime)
-        npzs = sorted(
-            _glob.glob(os.path.join(here, "checkpoints/tcm_s_*.npz")),
-            key=os.path.getmtime)
-        if not cks and not npzs:
-            return
-        from reslic_tcm_tpu.models.tcm import make_tcm
-
-        codec = make_tcm(N=64, M=320, fast_init=True, dtype=jnp.bfloat16)
-        codec.set_matmul_precision("bfloat16")
-        if cks:
+        best_mf, best_epochs = None, -1
+        for mf in _glob.glob(os.path.join(here, "checkpoints/tcm_s_*.json")):
+            if not os.path.exists(mf[:-5] + ".npz"):
+                continue
+            try:
+                with open(mf) as f:
+                    m = json.load(f)
+            except (OSError, ValueError):
+                continue
+            epochs = (m.get("metrics") or {}).get("epochs")
+            if epochs is None and m.get("epoch") is not None:
+                epochs = int(m["epoch"]) + 1 + int(m.get("epoch_offset") or 0)
+            epochs = int(epochs or 0)
+            if epochs > best_epochs:
+                best_mf, best_epochs = mf, epochs
+        if best_mf is None:
+            # no committed manifest anywhere: last resort is the newest live
+            # run (flagged as such in the record)
+            cks = sorted(
+                _glob.glob(os.path.join(here, "runs/*tcm_64*/_very_best.ckpt")),
+                key=os.path.getmtime)
+            if not cks:
+                return
             src = cks[-1]
+            _RECORD["trained_pick"] = "mtime-fallback (no manifest)"
             from reslic_tcm_tpu.utils.checkpoint import load_checkpoint
 
             restored = load_checkpoint(src)
             tr = (restored["state"]["params"] if "state" in restored
                   else restored["params"])
         else:
-            src = npzs[-1]
+            src = best_mf[:-5] + ".npz"
+            with open(best_mf) as f:
+                manifest = json.load(f)
+            _RECORD["trained_manifest"] = os.path.relpath(best_mf, here)
+            _RECORD["trained_epochs"] = best_epochs
+            for k, v in (manifest.get("metrics") or {}).items():
+                if isinstance(v, (int, float)) and k != "epochs":
+                    _RECORD[f"trained_manifest_{k}"] = v
             with np.load(src) as z:
                 flat = {k: z[k].astype(np.float32) for k in z.files}
             tr = {}
@@ -667,10 +822,28 @@ def _trained_quality_pass(args, jax, jnp, np, img):
                 for pp in parts[:-1]:
                     node = node.setdefault(pp, {})
                 node[parts[-1]] = v
+        from reslic_tcm_tpu.models.tcm import make_tcm
+
+        codec = make_tcm(N=64, M=320, fast_init=True, dtype=jnp.bfloat16)
+        codec.set_matmul_precision("bfloat16")
         codec.variables = {
             "params": jax.tree_util.tree_map(jnp.asarray, tr)
         }
-        x = jnp.asarray(np.concatenate([img(i) for i in range(2)], axis=0))
+        # Measure on the model's EVAL distribution (the deterministic
+        # synthetic test split the RD tables use), not on bench-generated
+        # content — trained_psnr_db must be comparable to the committed RD
+        # rows (VERDICT r4 #3 "done" criterion). Bench content is the
+        # fallback when the corpus isn't on disk.
+        test_dir = os.path.join(here, "data_synth", "test", "data")
+        if os.path.isdir(test_dir):
+            from reslic_tcm_tpu.data.datasets import list_images, read_image
+
+            files = list_images(test_dir)[:4]
+            x = jnp.asarray(np.stack([read_image(f) for f in files]))
+            _RECORD["trained_eval_set"] = f"data_synth/test ({len(files)} imgs)"
+        else:
+            x = jnp.asarray(np.concatenate([img(i) for i in range(2)], axis=0))
+            _RECORD["trained_eval_set"] = "bench synthetic"
         out = codec.forward(x, training=False)
         xh = jnp.clip(out["x_hat"], 0, 1)
         mse = float(jnp.mean((xh - x) ** 2))
@@ -680,7 +853,10 @@ def _trained_quality_pass(args, jax, jnp, np, img):
         px = x.shape[0] * x.shape[1] * x.shape[2]
         _RECORD["trained_psnr_db"] = round(-10.0 * np.log10(mse), 2)
         _RECORD["trained_bpp"] = round(bits / px, 4)
-        _RECORD["trained_model"] = f"tcm_n64 ({os.path.basename(os.path.dirname(src)) or os.path.basename(src)})"
+        base = (os.path.basename(src).replace(".npz", "")
+                if src.endswith(".npz")
+                else os.path.basename(os.path.dirname(src)))
+        _RECORD["trained_model"] = f"tcm_n64 ({base})"
         print(f"# trained-quality pass ({src}): "
               f"psnr={_RECORD['trained_psnr_db']} dB "
               f"bpp={_RECORD['trained_bpp']}", file=sys.stderr)
