@@ -66,12 +66,17 @@ def main():
 
         def run_mono():
             out = net.forward(x, training=False)
-            jax.block_until_ready(out["x_hat"])
+            # sync by fetching a data-dependent scalar: block_until_ready
+            # does not synchronize through the axon tunnel (PERFORMANCE.md
+            # measurement protocol); the tiled path syncs the same way via
+            # its float(bits) fetch.
+            float(jnp.sum(out["x_hat"][0, ::256, ::256]))
             return out
 
         def run_tiled():
+            # tiled_forward's float(bits) return is the sync point; x_hat
+            # stays device-resident (in-program stitch), matching mono
             xh, bits = tiled_forward(net, x, tile=args.tile, overlap=64)
-            jax.block_until_ready(xh)
             return xh, bits
 
         out = run_mono()  # compile
