@@ -116,3 +116,32 @@ def test_kodak_dataset(image_root):
     imgs = list(k)
     assert len(imgs) == 3
     assert imgs[0].shape == (1, 300, 280, 3)
+
+
+def test_decoded_cache_bit_identical(image_root):
+    """The uint8 RAM cache must produce exactly what a fresh float decode
+    produces (crop-then-normalize == normalize-then-crop on uint8/255)."""
+    from reslic_tcm_tpu.data.datasets import random_crop, read_image
+
+    ds = ImageFolder(image_root, num_images=5, split="train",
+                     patch_size=(64, 64), train=True)
+    r1, r2 = np.random.default_rng(3), np.random.default_rng(3)
+    for i in range(len(ds)):
+        got = ds.get(i, r1)  # populates the cache
+        want = random_crop(read_image(ds.samples[i]), ds.patch_size, r2)
+        np.testing.assert_array_equal(got, want)
+    assert ds._cache_bytes > 0
+    # second pass is served from the cache and stays identical
+    r3, r4 = np.random.default_rng(3), np.random.default_rng(3)
+    for i in range(len(ds)):
+        got = ds.get(i, r3)
+        want = random_crop(read_image(ds.samples[i]), ds.patch_size, r4)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_decoded_cache_budget_zero_disables(image_root):
+    ds = ImageFolder(image_root, num_images=3, split="train",
+                     patch_size=(64, 64), train=True, cache_mb=0)
+    rng = np.random.default_rng(0)
+    ds.get(0, rng)
+    assert ds._cache_bytes == 0 and not ds._cache
