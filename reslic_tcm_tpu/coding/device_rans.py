@@ -194,14 +194,26 @@ def _jax():
 
 
 def encode_interleaved(symbols, indexes, cdf, cdf_length, offset,
-                       k: int = 256, cap: int | None = None, packed=None):
+                       k: int = 256, cap: int | None = None, packed=None,
+                       compact: str | None = None):
     """Device-side encode. symbols/indexes int32 [n]; tables device arrays.
 
     Returns (words uint16 [k, cap], counts int32 [k], overflow bool). cap
     bounds the words per lane; overflow=True means cap was too small (caller
     retries with a bigger cap or falls back to the host coder).
+
+    compact: 'gather' (default) inverts the slot->position map with a
+    vectorized per-lane bisection and one minor-axis gather; 'scatter' is
+    the original formulation, which XLA lowers through a full sort of the
+    steps*3*k emission slots on TPU (~26 ms at TCM N=128 768x512 —
+    docs/PERFORMANCE.md roadmap item 3). Env RESLIC_ENC_COMPACT overrides.
     """
     jax, jnp = _jax()
+
+    if compact is None:
+        import os
+
+        compact = os.environ.get("RESLIC_ENC_COMPACT", "gather")
 
     symbols = symbols.reshape(-1).astype(jnp.int32)
     indexes = indexes.reshape(-1).astype(jnp.int32)
@@ -270,19 +282,53 @@ def encode_interleaved(symbols, indexes, cdf, cdf_length, offset,
         step_fn, x0, (sym_g[::-1], idx_g[::-1])
     )
 
-    # per-lane compaction over the (step, slot) emission sequence
+    # per-lane compaction over the (step, slot) emission sequence; the two
+    # flush words (lo, hi — decoder_init reads hi at counts-1) ride along
+    # as two always-active trailing rows
     ws = jnp.stack([w0, w1, w2], axis=1).reshape(steps * 3, k)
     dos = jnp.stack([d0, d1, d2], axis=1).reshape(steps * 3, k)
-    dos_i = dos.astype(jnp.int32)
+    ws = jnp.concatenate([
+        ws,
+        (x & MASK16).astype(jnp.uint16)[None],
+        ((x >> 16) & MASK16).astype(jnp.uint16)[None],
+    ])
+    dos_i = jnp.concatenate(
+        [dos.astype(jnp.int32), jnp.ones((2, k), jnp.int32)]
+    )
+    r_rows = steps * 3 + 2
+
+    if compact == "gather":
+        # buf[lane, c] = ws[src, lane] where src is the row of lane's c-th
+        # active emission: first row with inclusive-cumsum >= c+1, found by
+        # branch-free bisection (log2 rows iterations of one minor-axis
+        # take_along_axis each). The scatter formulation below lowers
+        # through a full sort of the r_rows*k slots on TPU.
+        csum_t = jnp.cumsum(dos_i, axis=0).T  # [k, r_rows], inclusive
+        counts = csum_t[:, -1]
+        target = (jnp.arange(cap, dtype=jnp.int32) + 1)[None, :]  # [1, cap]
+        lo = jnp.zeros((k, cap), jnp.int32)
+        hi = jnp.full((k, cap), r_rows, jnp.int32)
+        for _ in range(int(np.ceil(np.log2(r_rows + 1)))):
+            mid = (lo + hi) >> 1
+            v = jnp.take_along_axis(
+                csum_t, jnp.minimum(mid, r_rows - 1), axis=1
+            )
+            ge = v >= target
+            hi = jnp.where(ge, mid, hi)
+            lo = jnp.where(ge, lo, mid + 1)
+        src = jnp.minimum(lo, r_rows - 1)
+        buf = jnp.take_along_axis(ws.T, src, axis=1)  # [k, cap]
+        valid = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts[:, None]
+        buf = jnp.where(valid, buf, jnp.zeros((), jnp.uint16))
+        overflow = jnp.any(counts > cap)
+        return buf, counts, overflow
+
     pos = jnp.cumsum(dos_i, axis=0) - dos_i
     counts = pos[-1] + dos_i[-1]
     buf = jnp.zeros((k, cap + 1), jnp.uint16)
-    lanes_b = jnp.broadcast_to(jnp.arange(k)[None], dos.shape)
-    col = jnp.where(dos, jnp.minimum(pos, cap), cap)
+    lanes_b = jnp.broadcast_to(jnp.arange(k)[None], (r_rows, k))
+    col = jnp.where(dos_i > 0, jnp.minimum(pos, cap), cap)
     buf = buf.at[lanes_b.reshape(-1), col.reshape(-1)].set(ws.reshape(-1))
-
-    # flush state: lo then hi
-    buf, counts = emit_final(buf, counts, x, k, cap)
     overflow = jnp.any(counts > cap)
     return buf[:, :cap], counts, overflow
 

@@ -134,3 +134,37 @@ def test_overflow_flag():
         k=8, cap=8,
     )
     assert bool(overflow)
+
+
+@pytest.mark.parametrize("esc", [0.0, 0.08])
+def test_compaction_formulations_bit_identical(esc):
+    """'gather' (bisection + minor-axis gather; the serving default) and
+    'scatter' (original sort-lowered formulation) must produce identical
+    streams, counts, and overflow flags."""
+    cdfs, lengths, offsets = _tables(seed=12)
+    sym, idx = _data(1024, seed=13, esc_frac=esc)
+    k = 8
+    outs = {}
+    for mode in ("gather", "scatter"):
+        outs[mode] = dr.encode_interleaved(
+            jnp.asarray(sym), jnp.asarray(idx), jnp.asarray(cdfs),
+            jnp.asarray(lengths), jnp.asarray(offsets),
+            k=k, cap=256, compact=mode,
+        )
+    wg, cg, og = outs["gather"]
+    ws, cs, osc = outs["scatter"]
+    assert not bool(og) and not bool(osc)
+    cg = np.asarray(cg)
+    np.testing.assert_array_equal(cg, np.asarray(cs))
+    for lane in range(k):
+        np.testing.assert_array_equal(
+            np.asarray(wg)[lane, : cg[lane]], np.asarray(ws)[lane, : cg[lane]]
+        )
+    # tight cap: both formulations must raise the overflow flag
+    for mode in ("gather", "scatter"):
+        _, _, ovf = dr.encode_interleaved(
+            jnp.asarray(sym), jnp.asarray(idx), jnp.asarray(cdfs),
+            jnp.asarray(lengths), jnp.asarray(offsets),
+            k=k, cap=int(cg.max()) - 1, compact=mode,
+        )
+        assert bool(ovf)
