@@ -36,7 +36,7 @@ start=$(date +%s)
 # stopped forever while the T-state branch extends the budget indefinitely.
 # Past the cap stallguard resumes the group itself and normal accounting
 # takes over.
-PAUSE_CAP=${SG_PAUSE_CAP:-1800}
+PAUSE_CAP=${SG_PAUSE_CAP:-2700}
 paused=0
 
 newest_mtime() {

@@ -320,7 +320,11 @@ def main(argv=None):
     _tune_t0 = time.time()
 
     def _tune_budget_left():
-        return args.autotune and (time.time() - _tune_t0) < 240.0
+        # 540 s: BENCH_r05 try 1 burned the old 240 s budget on the swin
+        # candidates' tunnel-slow remote compiles alone, and the fused-conv
+        # candidate was never tried (see the budget-exhaustion else-branch
+        # below for why that must never again be silent).
+        return args.autotune and (time.time() - _tune_t0) < 540.0
 
     def _numerics_check(m, v, x_small, ref_small):
         # eager apply honors the CURRENT kernel flags call-by-call;
@@ -328,18 +332,32 @@ def main(argv=None):
         got = np.asarray(m.apply(v, x_small), np.float32)
         np.testing.assert_allclose(got, ref_small, rtol=3e-2, atol=3e-2)
 
-    def _timed_apply(m, v, x, label, reps=3):
+    def _timed_apply(m, v, x, label, reps=8):
         # fresh lambda per call -> its own jit cache entry, traced under
         # the CURRENT kernel-enable flags (the flags are read at trace
-        # time; reusing one jitted fn would ignore flag flips)
-        f = jax.jit(lambda vv, xx: jnp.sum(m.apply(vv, xx)).astype(jnp.float32))
+        # time; reusing one jitted fn would ignore flag flips).
+        # reps are data-chained inside ONE dispatched lax.scan: each eager
+        # rep pays the full tunnel round trip (~30-60 ms here), which
+        # swamped the composed-vs-fused margins the autotune decides
+        # (BENCH_r05 try 1 timed the same hp kernel at 36 ms that r4
+        # measured at 23.7). One dispatch amortizes the RTT reps-fold;
+        # min-of-2 rounds drops transient tunnel stalls.
+        f = jax.jit(
+            lambda vv, xx: jnp.sum(
+                jax.lax.scan(
+                    lambda c, _: (m.apply(vv, c), None), xx, None,
+                    length=reps,
+                )[0]
+            ).astype(jnp.float32)
+        )
         np.asarray(f(v, x))  # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(reps):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
             np.asarray(f(v, x))
-        dt = (time.perf_counter() - t0) / reps
-        print(f"# autotune {label}: {dt*1e3:.1f} ms", file=sys.stderr)
-        return dt
+            best = min(best, (time.perf_counter() - t0) / reps)
+        print(f"# autotune {label}: {best*1e3:.1f} ms", file=sys.stderr)
+        return best
 
     # --- autotune resilience (VERDICT r4 weak #2: BENCH_r04 lost its fused
     # kernels to ONE transient remote-compile HTTP 500 with no retry, no
@@ -479,7 +497,22 @@ def main(argv=None):
                                    f"({type(_e).__name__})")
             else:
                 t_ref = float("inf")
-            if _tune_budget_left() or args.fused_convs:
+            if not (_tune_budget_left() or args.fused_convs):
+                # Tune budget exhausted before this candidate was even
+                # tried (BENCH_r05 try 1: the swin compiles ate the whole
+                # budget and fused convs were skipped with no trace in the
+                # record). Adopt the persisted on-chip decision; without
+                # one, the record must say it's degraded.
+                use_fused = bool(_lkg.get("fused_convs", False))
+                if use_fused:
+                    _RECORD["fused_convs_from_lkg"] = True
+                    print("# fused convs: tune budget exhausted, adopted "
+                          "from last-known-good bench_tune.json",
+                          file=sys.stderr)
+                else:
+                    _mark_degraded("tune budget exhausted before the "
+                                   "fused-conv candidate was tried")
+            else:
 
                 def _verify_convs():
                     enable_fused_convs(True)
