@@ -202,18 +202,20 @@ def encode_interleaved(symbols, indexes, cdf, cdf_length, offset,
     bounds the words per lane; overflow=True means cap was too small (caller
     retries with a bigger cap or falls back to the host coder).
 
-    compact: 'gather' (default) inverts the slot->position map with a
-    vectorized per-lane bisection and one minor-axis gather; 'scatter' is
-    the original formulation, which XLA lowers through a full sort of the
-    steps*3*k emission slots on TPU (~26 ms at TCM N=128 768x512 —
-    docs/PERFORMANCE.md roadmap item 3). Env RESLIC_ENC_COMPACT overrides.
+    compact: 'scatter' (default) lets XLA lower the slot scatter through a
+    full sort of the steps*3*k emission slots; 'gather' inverts the
+    slot->position map with a vectorized per-lane bisection plus one
+    minor-axis take_along_axis. Measured on the v5e (probe_enc_compact,
+    n=524k, k=256): scatter 26.3 ms vs gather 105.2 ms — TPU per-element
+    gathers are rate-bound (~85M elem/s), so log2(rows) gather passes lose
+    badly to one sort. Env RESLIC_ENC_COMPACT overrides.
     """
     jax, jnp = _jax()
 
     if compact is None:
         import os
 
-        compact = os.environ.get("RESLIC_ENC_COMPACT", "gather")
+        compact = os.environ.get("RESLIC_ENC_COMPACT", "scatter")
 
     symbols = symbols.reshape(-1).astype(jnp.int32)
     indexes = indexes.reshape(-1).astype(jnp.int32)
