@@ -345,8 +345,9 @@ def main(argv=None):
         f = jax.jit(
             lambda vv, xx: jnp.sum(
                 jax.lax.scan(
-                    lambda c, _: (m.apply(vv, c), None), xx, None,
-                    length=reps,
+                    # blocks upcast internally; keep the carry dtype stable
+                    lambda c, _: (m.apply(vv, c).astype(xx.dtype), None),
+                    xx, None, length=reps,
                 )[0]
             ).astype(jnp.float32)
         )
