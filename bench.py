@@ -342,16 +342,32 @@ def main(argv=None):
         # (BENCH_r05 try 1 timed the same hp kernel at 36 ms that r4
         # measured at 23.7). One dispatch amortizes the RTT reps-fold;
         # min-of-2 rounds drops transient tunnel stalls.
-        f = jax.jit(
-            lambda vv, xx: jnp.sum(
-                jax.lax.scan(
-                    # blocks upcast internally; keep the carry dtype stable
-                    lambda c, _: (m.apply(vv, c).astype(xx.dtype), None),
-                    xx, None, length=reps,
-                )[0]
-            ).astype(jnp.float32)
-        )
-        np.asarray(f(v, x))  # compile + warm
+        # UNROLLED chain, not lax.scan: XLA stack-allocates a while body's
+        # pallas operands in scoped vmem, which OOMs kernels that fit fine
+        # unrolled (fused conv at [2,96,128,128]: "18.51M > 16.00M limit").
+        def _mk(n):
+            def _chain(vv, xx):
+                c = xx
+                for _ in range(n):
+                    # blocks upcast internally; keep the chain dtype stable
+                    c = m.apply(vv, c).astype(xx.dtype)
+                return jnp.sum(c).astype(jnp.float32)
+
+            return jax.jit(_chain)
+
+        f = _mk(reps)
+        try:
+            np.asarray(f(v, x))  # compile + warm
+        except Exception as e:
+            if "vmem" not in str(e).lower():
+                raise
+            # scoped-vmem OOM from chaining this kernel: fall back to the
+            # eager single-apply (RTT-noisy but better than no timing)
+            print(f"# autotune {label}: chain OOMs scoped vmem, "
+                  "falling back to reps=1", file=sys.stderr)
+            reps = 1
+            f = _mk(1)
+            np.asarray(f(v, x))
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
