@@ -587,7 +587,7 @@ def main(argv=None):
         tr = restored["state"]["params"] if "state" in restored else restored["params"]
         codec.variables = {"params": jax.tree_util.tree_map(jnp.asarray, tr)}
         codec.update()
-        return _run_profiles(args, codec, jax, jnp, np)
+        return _profiles_guarded(args, codec, jax, jnp, np)
 
     # Random init produces absurd-entropy latents; scale the latent-producing
     # convs and the (mu, sigma) heads so symbol statistics resemble a trained
@@ -617,7 +617,36 @@ def main(argv=None):
             leaf["bias"] = leaf["bias"] * (0.0 if nm == "cc_scale" else 0.02)
     codec.variables = {"params": params}
     codec.update()
-    return _run_profiles(args, codec, jax, jnp, np)
+    return _profiles_guarded(args, codec, jax, jnp, np)
+
+
+def _profiles_guarded(args, codec, jax, jnp, np):
+    """_run_profiles, but a fused-kernel failure inside the real codec
+    programs (e.g. the scoped-vmem OOM this toolchain produces at shapes
+    the autotune probe doesn't hit) re-runs everything composed instead of
+    dying with value 0.0 — the record then says what happened."""
+    from reslic_tcm_tpu.ops.layers import enable_fused_convs
+    from reslic_tcm_tpu.ops.window_attention import enable_fused_attention
+
+    fused_on = bool(_RECORD.get("fused_convs")) or (
+        _RECORD.get("attn_layout") not in (None, "composed"))
+    try:
+        return _run_profiles(args, codec, jax, jnp, np)
+    except Exception as e:
+        if not fused_on:
+            raise
+        _RECORD["degraded"] = True
+        prev = _RECORD.get("degraded_reason", "")
+        reason = ("serving programs failed with fused kernels enabled "
+                  f"({type(e).__name__}: {str(e)[:200]}); re-ran composed")
+        _RECORD["degraded_reason"] = (prev + "; " if prev else "") + reason
+        print(f"# DEGRADED: {reason}", file=sys.stderr)
+        enable_fused_attention(False)
+        enable_fused_convs(False)
+        _RECORD["attn_layout"] = "composed"
+        _RECORD["fused_convs"] = False
+        codec._jit_cache.clear()  # force retrace under composed flags
+        return _run_profiles(args, codec, jax, jnp, np)
 
 
 def _run_profiles(args, codec, jax, jnp, np):
