@@ -353,7 +353,13 @@ def main(argv=None):
                     c = m.apply(vv, c).astype(xx.dtype)
                 return jnp.sum(c).astype(jnp.float32)
 
-            return jax.jit(_chain)
+            from reslic_tcm_tpu.ops.layers import fused_conv_compiler_options
+
+            # candidates compile with the options they'd serve under (the
+            # fused convs need the scoped-vmem cap on this toolchain)
+            return jax.jit(_chain,
+                           compiler_options=fused_conv_compiler_options()
+                           or None)
 
         f = _mk(reps)
         try:

@@ -370,14 +370,22 @@ class ChannelARCodec:
 
     def _jit(self, name, fn):
         if name not in self._jit_cache:
+            from ..ops.layers import fused_conv_compiler_options
+
+            # flags are read at trace time; the matching compiler options
+            # (e.g. the scoped-vmem cap the fused conv kernels need on the
+            # current toolchain) must follow the SAME enable state. Cache
+            # clears (bench's composed fallback) retrace with fresh options.
+            opts = fused_conv_compiler_options() or None
             prec = self.matmul_precision
             if prec is not None:
                 def wrapped(*a, _fn=fn, _p=prec, **kw):
                     with jax.default_matmul_precision(_p):
                         return _fn(*a, **kw)
-                self._jit_cache[name] = jax.jit(wrapped)
+                self._jit_cache[name] = jax.jit(wrapped,
+                                                compiler_options=opts)
             else:
-                self._jit_cache[name] = jax.jit(fn)
+                self._jit_cache[name] = jax.jit(fn, compiler_options=opts)
         return self._jit_cache[name]
 
     def _make_params_fn(self, i: int, y_shape):

@@ -393,6 +393,20 @@ def enable_fused_convs(on: bool = True, interpret: bool = False):
     _FUSED_CONV["interpret"] = interpret
 
 
+def fused_conv_compiler_options() -> dict:
+    """Per-program XLA options needed when the fused conv kernels are on.
+
+    The 2026-08 toolchain's XLA stack-allocates pallas operands/results in
+    scoped vmem and its default 16M budget rejects the kernel at serving
+    shapes ("Scoped allocation with size 18.51M/39.50M ... exceeded");
+    raising the cap to 64M compiles and runs (measured on the v5e,
+    round-5 notes). Empty when the kernels are off so cache keys and
+    executables stay identical to the default path."""
+    if _FUSED_CONV["enabled"] and not _FUSED_CONV["interpret"]:
+        return {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+    return {}
+
+
 class _RawConv(nn.Module):
     """Conv2d with setup-exposed params (paths/names match the Conv
     wrapper's nn.Conv child) so fused kernels can read raw kernels; the
